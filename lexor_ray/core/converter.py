@@ -1,0 +1,78 @@
+"""Tree-copy converter pass.
+
+Re-expresses the reference's ``Converter._convert`` traversal
+(``lexor/core/converter.py:331-376``): per node-name rule deciding
+``copy`` / ``copy_children``, ``start``/``end`` rewrite hooks, and
+``normalize()`` on ascent. Equivalent semantics, expressed as a
+recursive copy with return values instead of the reference's
+direction-state machine (a ``copy=False`` rule in the reference clones
+an empty ``Text('')`` placeholder, skips the subtree, and relies on
+``normalize`` to delete it — ``converter.py:324-329, 362``; returning
+``None`` here is the same observable result).
+
+Rules come from a :class:`~lexor_ray.dialects.registry.Dialect`; the
+rule table is per-actor state (SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from .dom import Document, Element, Node
+
+
+class Converter:
+    def __init__(self, dialect) -> None:
+        self.dialect = dialect
+        self.log: list[dict] = []
+
+    def msg(self, module: str, code: str, arg=()) -> None:
+        self.log.append(
+            {
+                "module": module,
+                "code": code,
+                "line": 0,
+                "col": 0,
+                "arg": [str(a) for a in arg],
+            }
+        )
+
+    def convert(self, doc: Document) -> Document:
+        """Convert ``doc`` into a new Document (the reference returns a
+        clone, never mutates the source — ``converter.py:337``)."""
+        self.log = []
+        out = doc.clone_node()  # shallow: root always copied (converter.py:333-337)
+        root_rule = self.dialect.convert_rule(doc.name)
+        if root_rule.start is not None:
+            out = root_rule.start(self, out) or out
+        if root_rule.copy_children and doc.child:
+            # transcripts HTML nests shallowly, but tool output can be
+            # pathological; recursion depth == DOM depth.
+            limit = sys.getrecursionlimit()
+            if limit < 20000:
+                sys.setrecursionlimit(20000)
+            for ch in doc.child:
+                conv = self._convert_node(ch)
+                if conv is not None:
+                    out.append_child(conv)
+        if root_rule.end is not None:
+            out = root_rule.end(self, out) or out
+        out.normalize()
+        return out
+
+    def _convert_node(self, node: Node) -> Node | None:
+        rule = self.dialect.convert_rule(node.name)
+        if not rule.copy:
+            return None  # drop node + subtree (reference Text('') + normalize)
+        clone = node.clone_node() if not isinstance(node, Element) else node.clone_node(False)
+        if rule.start is not None:
+            clone = rule.start(self, clone) or clone
+        if rule.copy_children and node.child:
+            for ch in node.child:
+                conv = self._convert_node(ch)
+                if conv is not None:
+                    clone.append_child(conv)
+        if rule.end is not None:
+            clone = rule.end(self, clone) or clone
+        clone.normalize()  # reference normalizes on ascent (converter.py:362)
+        return clone

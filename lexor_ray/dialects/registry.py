@@ -1,0 +1,90 @@
+"""Dialect registry — the reference's style/plugin contract
+re-expressed as plain Python objects (SURVEY.md §2.9).
+
+The reference discovers "style" modules on a filesystem path and loads
+them by naming convention (``lexor/command/lang.py:45-51, 140-173``),
+then compiles three registries from each module's ``MAPPING``:
+parser (``lexor/core/parser.py:123-144``), converter
+(``converter.py:276-297``), writer (``writer.py:411-431``).
+
+Here a dialect is a :class:`Dialect` object registered in a module
+dict. A Ray actor receives the *dialect name* (a small string, cheap
+to ship in the actor constructor args) and resolves + compiles the
+tables in ``__init__`` — once per actor, amortized over all batches
+(SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class ConvertRule:
+    """Per-node-name conversion behavior — the reference's
+    ``NodeConverter`` contract (``lexor/core/converter.py:30-76``)."""
+
+    copy: bool = True
+    copy_children: bool = True
+    # hooks receive (node) and return the node or a replacement
+    start: object = None
+    end: object = None
+
+
+@dataclass
+class Dialect:
+    """One parse/convert/write behavior bundle.
+
+    ``parser_mapping`` follows the reference MAPPING shape
+    (``parser.py:137-144``): ``{container_name: (next_char_class,
+    [NodeParser classes]) | alias_str}``; ``'__default__'`` is
+    required. ``converters``/``writers`` map node names to rules
+    (``'__default__'`` fallback, reference ``converter.py:289``,
+    ``writer.py:418``).
+    """
+
+    name: str
+    lang: str = "html"
+    parser_mapping: dict = field(default_factory=dict)
+    converters: dict = field(default_factory=dict)
+    writers: dict = field(default_factory=dict)
+
+    def resolved_parser_mapping(self) -> dict:
+        """Resolve string aliases (reference ``parser.py:139-144``)."""
+        out = {}
+        aliases = []
+        for key, val in self.parser_mapping.items():
+            if isinstance(val, str):
+                aliases.append((key, val))
+            else:
+                out[key] = val
+        for key, target in aliases:
+            out[key] = out[target]
+        return out
+
+    def convert_rule(self, name: str) -> ConvertRule:
+        rule = self.converters.get(name)
+        if rule is not None:
+            return rule
+        if name.startswith("?") and "?*" in self.converters:
+            return self.converters["?*"]
+        return self.converters.get("__default__", _DEFAULT_RULE)
+
+
+_DEFAULT_RULE = ConvertRule()
+
+_REGISTRY: dict[str, Dialect] = {}
+
+
+def register_dialect(dialect: Dialect) -> Dialect:
+    _REGISTRY[dialect.name] = dialect
+    return dialect
+
+
+def get_dialect(name: str) -> Dialect:
+    # import side-effect registration of the built-ins
+    from . import html as _html  # noqa: F401
+
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown dialect {name!r}; known: {sorted(_REGISTRY)}")
+    return _REGISTRY[name]

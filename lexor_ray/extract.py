@@ -1,0 +1,99 @@
+"""Per-row main-content extraction: the flagship pure function.
+
+``extract_one(text)`` runs the fused parse → convert → write sequence
+of the reference's library entry point ``lexor.lexor``
+(``lexor/__init__.py:52-101``: Parser.parse → Converter.convert →
+Writer.write, logs merged parser-first) and returns::
+
+    {"extracted_text": str,
+     "spans": [(start, end), ...],   # source char ranges, one per run
+     "log":   [record, ...]}         # W100/E100/... diagnostics
+
+Semantics: boilerplate subtrees (script/style/head/nav/... — see
+``lexor_ray.dialects.html.BOILERPLATE_ELEMENTS``), comments, doctypes,
+CDATA and processing instructions are dropped; Text runs are kept
+byte-exact from the source; entities contribute their decoded text
+with the span of the *source* entity (SURVEY.md §7.4.3). Invariant:
+for every non-entity span ``text[s:e]`` equals its contribution to
+``extracted_text``; the whole output is the in-order concatenation of
+the runs.
+
+This function is the unit-test oracle for the Ray pipeline: the
+distributed `map_batches` stage must produce byte-identical output
+(BASELINE.json ``north_rule`` per-turn text equality).
+"""
+
+from __future__ import annotations
+
+from .core.converter import Converter
+from .core.dom import CharacterData, Document, Entity, Text
+from .core.parser import Parser
+from .dialects.registry import get_dialect
+
+#: rows without any of these chars cannot contain markup or entities —
+#: extraction is the identity with a single full-width span.
+MARKUP_CHARS = ("<", "&")
+
+
+class TextSpanWriter:
+    """The flagship "text" writer style: walk the converted tree
+    collecting Text/Entity runs + spans (the writer pass P7 of
+    SURVEY.md §2.2, specialized — formatted styles use
+    ``lexor_ray.core.writer.Writer``)."""
+
+    @staticmethod
+    def write(doc: Document) -> tuple[str, list[tuple[int, int]]]:
+        parts: list[str] = []
+        spans: list[tuple[int, int]] = []
+        for node in doc.iter():
+            if isinstance(node, Text):
+                parts.append(node.data)
+                spans.extend(node.spans)
+            elif isinstance(node, Entity):
+                parts.append(node.data)
+                spans.append(node.span)
+            # RawText bodies that survive conversion (none do in the
+            # html-text dialect) are intentionally not emitted: they
+            # are code, not content.
+        return "".join(parts), spans
+
+
+class Extractor:
+    """Parse+convert+write state bundle — built once per Ray actor
+    (the §2.7 registry state), then applied per row."""
+
+    def __init__(self, dialect: str = "html-text") -> None:
+        d = get_dialect(dialect)
+        self.parser = Parser(d)
+        self.converter = Converter(d)
+
+    def extract_one(self, text: str, uri: str | None = None) -> dict:
+        if "<" not in text and "&" not in text:
+            # fast path: no markup, no entities — identity extraction.
+            return {
+                "extracted_text": text,
+                "spans": [(0, len(text))] if text else [],
+                "log": [],
+            }
+        doc = self.parser.parse(text, uri)
+        plog = self.parser.log
+        out = self.converter.convert(doc)
+        # parser log precedes converter log (lexor/__init__.py:94-95)
+        log = plog + self.converter.log
+        extracted, spans = TextSpanWriter.write(out)
+        return {"extracted_text": extracted, "spans": spans, "log": log}
+
+    def parse(self, text: str, uri: str | None = None) -> Document:
+        return self.parser.parse(text, uri)
+
+
+_DEFAULT: Extractor | None = None
+
+
+def extract_one(text: str, dialect: str = "html-text") -> dict:
+    """Module-level convenience for tests / single-shot use. Ray stages
+    construct their own :class:`Extractor` in actor ``__init__``."""
+    global _DEFAULT
+    if _DEFAULT is None or _DEFAULT.parser.dialect.name != dialect:
+        _DEFAULT = Extractor(dialect)
+    return _DEFAULT.extract_one(text)

@@ -1,0 +1,322 @@
+"""Ray Data assembly of the extraction engine.
+
+The reference pipeline (``lexor/command/to.py:225-291``: read → parse →
+convert → write, one file per process) restated Ray-Data-first
+(SURVEY.md §3.1): ``read_parquet(transcripts)`` →
+``map_batches(ExtractBatch, batch_format='pyarrow')`` on an actor pool
+(compiled dialect registries built once per actor, §2.7) →
+optional ``sort(['conv_id','turn_idx'])`` ordering shuffle →
+``write_parquet`` with a per-chunk lineage manifest enabling exact
+resume (north rule).
+
+Scale notes (100 TB / 10^12 turns):
+
+- The extract stage is embarrassingly parallel per row; no shuffle.
+  The only wide op is the optional ordering sort, applied at
+  comparison time, never mid-pipeline (SURVEY.md §7.4.5).
+- ``columns=`` pruning at the read: only ``conv_id, turn_idx, text``
+  leave storage for extraction.
+- Long tool-output turns: handled by a character budget per batch —
+  the actor slices incoming Arrow batches so a few multi-MB rows never
+  ride with thousands of small ones (length-skew mitigation of
+  SURVEY.md §4.3 without a repartition pass).
+- Resumability: input files are processed in deterministic chunks;
+  each chunk writes to its own output directory (atomic rename) plus a
+  ``manifest/part-*.json`` with input fragment identity, parser-rule
+  hit counts and span checksums. A rerun skips completed chunks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from .extract import Extractor
+
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+EXTRACT_INPUT_COLUMNS = ["conv_id", "turn_idx", "text"]
+
+SPAN_TYPE = pa.list_(pa.struct([("start", pa.int64()), ("end", pa.int64())]))
+LOG_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("module", pa.string()),
+            ("code", pa.string()),
+            ("line", pa.int32()),
+            ("col", pa.int32()),
+            ("arg", pa.list_(pa.string())),
+        ]
+    )
+)
+
+
+def transcript_schema() -> pa.Schema:
+    """The enforced input schema (BASELINE.json ``input_hint``)."""
+    return pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+
+
+class ExtractBatch:
+    """Actor-pool batch UDF: parse→convert→write per row, fused
+    (SURVEY.md §2.2 legend). Dialect registries are compiled once per
+    actor here in ``__init__`` — the Ray restatement of the
+    reference's ``_reload`` amortization (``parser.py:159-160``)."""
+
+    #: stable rule order for the lineage hit vector
+    RULE_NAMES = [
+        "CommentParser",
+        "CDataParser",
+        "DoctypeParser",
+        "PIParser",
+        "ElementParser",
+        "StrayCloseParser",
+        "EntityParser",
+    ]
+
+    def __init__(
+        self,
+        dialect: str = "html-text",
+        emit_log: bool = True,
+        emit_lineage: bool = True,
+        max_batch_chars: int = 8_000_000,
+    ) -> None:
+        self.extractor = Extractor(dialect)
+        self.emit_log = emit_log
+        self.emit_lineage = emit_lineage
+        self.max_batch_chars = max_batch_chars
+        self._rule_index = {n: i for i, n in enumerate(self.RULE_NAMES)}
+
+    def __call__(self, batch: pa.Table):
+        # char-budget slicing: keep huge tool-output rows from blowing
+        # up one task's heap (skew mitigation, SURVEY.md §4.3).
+        import pyarrow.compute as pc
+
+        nchars = pc.sum(pc.binary_length(batch["text"])).as_py() or 0
+        if nchars > self.max_batch_chars and batch.num_rows > 1:
+            half = batch.num_rows // 2
+            yield from self(batch.slice(0, half))
+            yield from self(batch.slice(half))
+            return
+        yield self._process(batch)
+
+    def _process(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        extractor = self.extractor
+        parser = extractor.parser
+        out_texts: list[str] = []
+        flat_start: list[int] = []
+        flat_end: list[int] = []
+        span_offsets = np.empty(n + 1, dtype=np.int32)
+        span_offsets[0] = 0
+        logs: list[list[dict]] = []
+        span_crc = np.zeros(n, dtype=np.int64)
+        hit_vecs = np.zeros((n, len(self.RULE_NAMES)), dtype=np.int32)
+        rule_index = self._rule_index
+        for i, text in enumerate(texts):
+            if text is None:
+                text = ""
+            parser.rule_hits = {}
+            res = extractor.extract_one(text)
+            out_texts.append(res["extracted_text"])
+            spans = res["spans"]
+            for s, e in spans:
+                flat_start.append(s)
+                flat_end.append(e)
+            span_offsets[i + 1] = len(flat_start)
+            logs.append(res["log"])
+            if self.emit_lineage:
+                span_crc[i] = zlib.crc32(
+                    np.asarray(spans, dtype=np.int64).tobytes()
+                    + res["extracted_text"].encode("utf-8", "surrogatepass")
+                )
+                for rname, cnt in parser.rule_hits.items():
+                    idx = rule_index.get(rname)
+                    if idx is not None:
+                        hit_vecs[i, idx] = cnt
+        struct = pa.StructArray.from_arrays(
+            [pa.array(flat_start, type=pa.int64()), pa.array(flat_end, type=pa.int64())],
+            ["start", "end"],
+        )
+        spans_arr = pa.ListArray.from_arrays(pa.array(span_offsets, type=pa.int32()), struct)
+        out = batch.append_column("extracted_text", pa.array(out_texts, type=pa.string()))
+        out = out.append_column("spans", spans_arr)
+        if self.emit_log:
+            out = out.append_column("log", pa.array(logs, type=LOG_TYPE))
+        if self.emit_lineage:
+            out = out.append_column("span_crc", pa.array(span_crc))
+            out = out.append_column(
+                "rule_hits", pa.FixedSizeListArray.from_arrays(
+                    pa.array(hit_vecs.reshape(-1), type=pa.int32()), len(self.RULE_NAMES)
+                )
+            )
+        return out
+
+
+def default_concurrency() -> int:
+    import ray
+
+    if ray.is_initialized():
+        return max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+    return 4
+
+
+def extract_ds(
+    ds,
+    dialect: str = "html-text",
+    batch_size: int = 1024,
+    concurrency=None,
+    emit_log: bool = True,
+    emit_lineage: bool = True,
+):
+    """Attach the fused extraction stage to a transcripts Dataset.
+
+    ``concurrency`` sizes the actor pool (default: cluster CPUs - 1 so
+    the read/write stages are not starved); ``num_cpus=1`` per actor —
+    the UDF is pure-Python CPU-bound, no benefit from wider actors.
+    """
+    if concurrency is None:
+        concurrency = default_concurrency()
+    return ds.map_batches(
+        ExtractBatch,
+        fn_constructor_kwargs=dict(
+            dialect=dialect, emit_log=emit_log, emit_lineage=emit_lineage
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def read_transcripts(path, columns=None, **kwargs):
+    """Schema-pruned read of a transcripts table (prune at the read:
+    extraction needs only conv_id/turn_idx/text)."""
+    import ray.data
+
+    return ray.data.read_parquet(
+        path, columns=columns or EXTRACT_INPUT_COLUMNS, **kwargs
+    )
+
+
+def stable_order(ds):
+    """The explicit ordering shuffle of the north rule: global sort by
+    ``(conv_id, turn_idx)``. Apply only at comparison/export time —
+    this is the expensive all-to-all path (SURVEY.md §7.4.5)."""
+    return ds.sort(["conv_id", "turn_idx"])
+
+
+# ---------------------------------------------------------------------------
+# Resumable chunked run with lineage manifest (north rule: "resumable
+# from checkpoint with per-partition lineage + metrics")
+
+
+def _chunks(seq, size):
+    for i in range(0, len(seq), size):
+        yield seq[i : i + size]
+
+
+def run_extraction(
+    input_path: str,
+    out_dir: str,
+    dialect: str = "html-text",
+    files_per_chunk: int = 64,
+    batch_size: int = 1024,
+    concurrency=None,
+) -> dict:
+    """Process a directory (or file) of transcripts parquet in
+    deterministic chunks of input files. Completed chunks are recorded
+    in ``out_dir/manifest/part-*.json`` and skipped on rerun; data
+    lands under ``out_dir/data/part-*/`` via atomic rename. Returns a
+    summary dict.
+
+    At cluster scale each chunk is sized (``files_per_chunk``) to keep
+    every node busy while bounding the work lost to a mid-chunk
+    failure; within a chunk execution is fully streaming.
+    """
+    import ray.data
+
+    if os.path.isdir(input_path):
+        files = sorted(
+            os.path.join(input_path, f)
+            for f in os.listdir(input_path)
+            if f.endswith(".parquet")
+        )
+    else:
+        files = [input_path]
+    manifest_dir = os.path.join(out_dir, "manifest")
+    data_dir = os.path.join(out_dir, "data")
+    os.makedirs(manifest_dir, exist_ok=True)
+    os.makedirs(data_dir, exist_ok=True)
+    summary = {"chunks_total": 0, "chunks_skipped": 0, "rows": 0}
+    for ci, chunk in enumerate(_chunks(files, files_per_chunk)):
+        part = f"part-{ci:05d}"
+        mpath = os.path.join(manifest_dir, part + ".json")
+        summary["chunks_total"] += 1
+        if os.path.exists(mpath):
+            with open(mpath) as fh:
+                rec = json.load(fh)
+            if rec.get("inputs") == chunk:  # same fragment identity
+                summary["chunks_skipped"] += 1
+                summary["rows"] += rec.get("rows", 0)
+                continue
+        pdir = os.path.join(data_dir, part)
+        tmp = os.path.join(data_dir, "." + part + ".tmp")
+        if os.path.exists(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)
+        ds = read_transcripts(chunk)
+        ds = extract_ds(
+            ds, dialect=dialect, batch_size=batch_size, concurrency=concurrency
+        )
+        ds.write_parquet(tmp)
+        if os.path.exists(pdir):
+            import shutil
+
+            shutil.rmtree(pdir)
+        os.rename(tmp, pdir)
+        rec = _chunk_lineage(pdir, chunk)
+        with open(mpath + ".tmp", "w") as fh:
+            json.dump(rec, fh)
+        os.rename(mpath + ".tmp", mpath)
+        summary["rows"] += rec["rows"]
+    return summary
+
+
+def _chunk_lineage(part_dir: str, inputs: list[str]) -> dict:
+    """Per-partition lineage record: input fragment identity,
+    parser-rule hit counts, span checksum (xor of per-row crc32)."""
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(part_dir, format="parquet")
+    tbl = dset.to_table(columns=["span_crc", "rule_hits"])
+    crc = tbl.column("span_crc").to_numpy(zero_copy_only=False)
+    xor = int(np.bitwise_xor.reduce(crc.astype(np.int64))) if len(crc) else 0
+    hits = np.zeros(len(ExtractBatch.RULE_NAMES), dtype=np.int64)
+    rh = tbl.column("rule_hits")
+    if len(rh):
+        flat = np.asarray(
+            rh.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        ).reshape(len(rh), -1)
+        hits = flat.sum(axis=0)
+    return {
+        "inputs": inputs,
+        "rows": int(tbl.num_rows),
+        "span_checksum_xor": xor,
+        "rule_hits": {
+            n: int(c) for n, c in zip(ExtractBatch.RULE_NAMES, hits.tolist())
+        },
+    }

@@ -1,0 +1,170 @@
+"""Deterministic synthetic transcripts table.
+
+BASELINE.json ``input_hint`` fixes the input shape: a Parquet table of
+multi-turn conversation / agent transcripts with columns
+``(conv_id:string, turn_idx:int32, role:string, text:string,
+tool:string, ts:timestamp)``. The driver's testdata has no such table,
+so this module synthesises one deterministically (seeded numpy, no
+Python ``hash``) at any scale — the small-scale stand-in for the
+10^12-turn production table.
+
+The ``text`` payloads are HTML-ish markup exercising every node parser
+of the HTML dialect: tags + attributes, nesting, entities, comments,
+scripts/styles (boilerplate), doctype/CDATA/PI, unclosed tags (E100),
+implicit closes (W100), plain-text rows (fast path), and rare
+multi-megabyte tool-output rows (length skew, SURVEY.md §4.3).
+
+Generation is cached on disk per (n_turns, seed); a ``_DONE`` marker
+makes concurrent generation race-safe.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+DEFAULT_BASE = os.environ.get("LEXOR_RAY_DATA", "/tmp/lexor_ray_data")
+SEED = 42
+
+_WORDS = (
+    "the quick brown fox jumps over lazy dog stream batch arrow ray data "
+    "shuffle actor block parse node tree span text turn agent tool call "
+    "result plan answer question context window token merge sort filter"
+).split()
+
+_ROLES = ["user", "assistant", "tool"]
+_TOOLS = ["", "", "", "search", "python", "browser", "calculator"]
+
+
+def _sentence(rng: np.random.Generator, lo: int = 4, hi: int = 14) -> str:
+    n = int(rng.integers(lo, hi))
+    idx = rng.integers(0, len(_WORDS), n)
+    return " ".join(_WORDS[i] for i in idx)
+
+
+def _make_text(rng: np.random.Generator) -> str:
+    """One turn's text: a deterministic random HTML-ish document."""
+    kind = rng.random()
+    if kind < 0.30:  # plain text — fast path
+        return _sentence(rng, 6, 40)
+    parts: list[str] = []
+    if rng.random() < 0.05:
+        parts.append("<!DOCTYPE html>")
+    if rng.random() < 0.10:
+        parts.append(f"<!-- {_sentence(rng, 2, 6)} -->")
+    if rng.random() < 0.12:
+        parts.append(f"<script>var x = {int(rng.integers(0, 999))};</script>")
+    if rng.random() < 0.08:
+        parts.append(f"<style>.c{int(rng.integers(0,99))} {{color: red}}</style>")
+    n_paras = int(rng.integers(1, 5))
+    for _ in range(n_paras):
+        inner = _sentence(rng)
+        deco = rng.random()
+        if deco < 0.25:
+            inner = f"{inner} <b>{_sentence(rng, 1, 4)}</b> {_sentence(rng, 1, 6)}"
+        elif deco < 0.40:
+            inner = f'{inner} <a href="http://example.com/{int(rng.integers(0,999))}">{_sentence(rng, 1, 3)}</a>'
+        elif deco < 0.50:
+            inner = f"{inner} &amp; {_sentence(rng, 1, 4)} &lt;ok&gt;"
+        elif deco < 0.58:
+            inner = f"{inner} <i>{_sentence(rng,1,3)} <em>deep</em></i>"
+        tag = ["p", "div", "section", "blockquote"][int(rng.integers(0, 4))]
+        if rng.random() < 0.07:  # unclosed -> E100 / W100 coverage
+            parts.append(f"<{tag}>{inner}")
+        else:
+            parts.append(f"<{tag}>{inner}</{tag}>")
+    if rng.random() < 0.15:
+        items = "".join(f"<li>{_sentence(rng, 1, 5)}</li>" for _ in range(int(rng.integers(2, 5))))
+        parts.append(f"<ul>{items}</ul>")
+    if rng.random() < 0.10:
+        parts.append(f'<img src="x{int(rng.integers(0,99))}.png" alt="{_sentence(rng,1,3)}">')
+    if rng.random() < 0.04:
+        parts.append(f"<?pi {_sentence(rng, 1, 3)} ?>")
+    if rng.random() < 0.002:  # rare huge tool dump (length skew)
+        parts.append("<pre>" + " ".join([_sentence(rng, 8, 16)] * 400) + "</pre>")
+    return "\n".join(parts)
+
+
+def generate_transcripts(n_turns: int, seed: int = SEED) -> pa.Table:
+    """Build an n_turns-row transcripts table, deterministic in
+    (n_turns, seed). Conversations have 2–16 turns; roles alternate
+    user/assistant with occasional tool turns."""
+    rng = np.random.default_rng(seed)
+    conv_ids: list[str] = []
+    turn_idx: list[int] = []
+    roles: list[str] = []
+    texts: list[str] = []
+    tools: list[str] = []
+    ts: list[int] = []
+    base_ts = 1_700_000_000_000_000  # us epoch, fixed
+    conv = 0
+    while len(texts) < n_turns:
+        n = int(rng.integers(2, 17))
+        n = min(n, n_turns - len(texts))
+        cid = f"conv-{conv:08d}"
+        t0 = base_ts + int(rng.integers(0, 10**9))
+        for i in range(n):
+            conv_ids.append(cid)
+            turn_idx.append(i)
+            role = _ROLES[2] if rng.random() < 0.15 else _ROLES[i % 2]
+            roles.append(role)
+            texts.append(_make_text(rng))
+            tools.append(
+                _TOOLS[int(rng.integers(0, len(_TOOLS)))] if role == "tool" else ""
+            )
+            t0 += int(rng.integers(1_000_000, 60_000_000))
+            ts.append(t0)
+        conv += 1
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_ids, type=pa.string()),
+            "turn_idx": pa.array(turn_idx, type=pa.int32()),
+            "role": pa.array(roles, type=pa.string()),
+            "text": pa.array(texts, type=pa.string()),
+            "tool": pa.array(tools, type=pa.string()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+        }
+    )
+
+
+def sf_to_turns(sf: float) -> int:
+    """sf0.001 → 1k turns, sf0.01 → 10k, sf0.1 → 100k, sf1 → 1M."""
+    return max(100, int(round(sf * 1_000_000)))
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.01
+
+
+def transcripts_dir(sf: float, base: str = DEFAULT_BASE, seed: int = SEED) -> str:
+    """Directory of transcripts parquet for scale ``sf``; generated on
+    first use (multiple files so chunked/resumable runs have >1 input
+    fragment)."""
+    n = sf_to_turns(sf)
+    out = os.path.join(base, f"sf{sf:g}", "transcripts")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    tbl = generate_transcripts(n, seed)
+    rows_per_file = 25_000
+    n_files = max(4, (n + rows_per_file - 1) // rows_per_file)
+    per = (tbl.num_rows + n_files - 1) // n_files
+    for i in range(n_files):
+        part = tbl.slice(i * per, per)
+        if part.num_rows:
+            pq.write_table(part, os.path.join(out, f"turns-{i:05d}.parquet"))
+    with open(marker, "w") as fh:
+        fh.write(f"n_turns={n} seed={seed}\n")
+    return out
+
+
+def transcripts_for(sf_dir: str) -> str:
+    """Map a driver sf dir (e.g. /root/testdata/sf0.01) to the matching
+    synthetic transcripts directory."""
+    return transcripts_dir(sf_from_dir(sf_dir))

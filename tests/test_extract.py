@@ -1,0 +1,89 @@
+"""Golden tests for the flagship extraction (text + spans).
+
+Mirrors the reference's golden-output pattern
+(``lexor/command/test.py:140-147`` ``compare_with`` /
+``parse_convert_write``): snippet → expected extracted text, plus the
+span invariants (non-entity spans are byte-exact source substrings)."""
+
+import html
+
+from lexor_ray.extract import extract_one
+
+
+GOLDEN = [
+    ("<p>Hello <b>world</b></p>", "Hello world"),
+    ("plain text", "plain text"),
+    ("<div><script>var x=1;</script>keep<style>.x{}</style></div>", "keep"),
+    ("<head><title>t</title></head><body>body</body>", "body"),
+    ("a &amp; b &lt;c&gt; &#65; &#x42;", "a & b <c> A B"),
+    ("<!-- gone -->text<!-- gone -->", "text"),
+    ("<!DOCTYPE html>x", "x"),
+    ("<nav>menu</nav><p>content</p><footer>foot</footer>", "content"),
+    ("<ul><li>a</li><li>b</li></ul>", "ab"),
+    ("<p>unclosed", "unclosed"),
+    ("<a><p>x</a>", "x"),
+    ("<?python print 1 ?>y", "y"),
+    ("<![CDATA[zap]]>w", "w"),
+    ("</stray>ok", "ok"),
+    ("<iframe>drop</iframe><template>drop</template>keep", "keep"),
+    ("", ""),
+    ("<br><img src=x.png>tail", "tail"),
+    ("<P>UPPER</P>", "UPPER"),  # tag names case-folded
+    ("<svg><circle r=1/>vector</svg>after", "after"),
+]
+
+
+def test_golden_extraction():
+    failures = []
+    for src, expected in GOLDEN:
+        got = extract_one(src)["extracted_text"]
+        if got != expected:
+            failures.append((src, expected, got))
+    assert not failures, failures
+
+
+def test_span_invariants():
+    """Every span is a valid source range; non-entity runs equal their
+    source substring; total output = concatenation of runs."""
+    for src, _ in GOLDEN:
+        res = extract_one(src)
+        out, spans = res["extracted_text"], res["spans"]
+        pieces = []
+        for s, e in spans:
+            assert 0 <= s <= e <= len(src)
+            piece = src[s:e]
+            if piece.startswith("&"):
+                piece = html.unescape(piece)
+            pieces.append(piece)
+        assert "".join(pieces) == out, (src, spans)
+
+
+def test_spans_monotonic():
+    res = extract_one("<p>a</p><div>b &amp; c</div>")
+    spans = res["spans"]
+    flat = [v for se in spans for v in se]
+    assert flat == sorted(flat)
+
+
+def test_entity_span_covers_source_entity():
+    res = extract_one("x&amp;y")
+    assert res["extracted_text"] == "x&y"
+    assert res["spans"] == [(0, 1), (1, 6), (6, 7)]
+
+
+def test_log_precedence_parser_before_converter():
+    res = extract_one("<node>")
+    assert res["log"][0]["code"] == "E100"
+
+
+def test_fast_path_equals_parser_path():
+    """Rows without markup chars take the identity fast path; verify it
+    agrees with the full parse."""
+    from lexor_ray.extract import Extractor
+
+    ex = Extractor()
+    src = "just words here"
+    fast = ex.extract_one(src)
+    doc = ex.parser.parse(src)
+    slow_out = "".join(n.data for n in doc.iter() if n.name == "#text")
+    assert fast["extracted_text"] == slow_out == src

@@ -1,0 +1,114 @@
+"""Conformance micro-corpus in the reference's message-example style.
+
+The reference tests style modules with labeled snippets: ``Okay:``
+examples must parse with an EMPTY log, code-labeled examples must put
+that code in the log (``lexor/command/test.py:150-215``,
+``find_failed``). The core engine's own examples live at
+``lexor/core/parser.py:417-451``; the HTML-relevant ones are replayed
+here against our engine.
+"""
+
+from lexor_ray.dialects.registry import get_dialect
+from lexor_ray.core.parser import Parser
+
+
+def codes_for(text: str) -> list[str]:
+    p = Parser(get_dialect("html"))
+    p.parse(text)
+    return [rec["code"] for rec in p.log]
+
+
+# (snippet, expected_code or None for Okay) — the HTML examples from
+# parser.py:426-449 plus dialect-specific cases.
+CORPUS = [
+    ("<node></node>", None),  # parser.py:426 "Okay: <node></node>"
+    ("<node>", "E100"),  # parser.py:430 "E100: <node>"
+    ("<a><p>stuff</p><p>stuff</p></a>", None),  # parser.py:445
+    ("<a><p>stuff</p><p>stuff</a>", "W100"),  # parser.py:448
+    ("<a><p>stuff<p>stuff</a>", "W100"),  # parser.py:449
+    # dialect coverage
+    ("<br>", None),
+    ("<img src='x.png'>", None),
+    ("<script>if (a<b) {}</script>", None),
+    ("<script>unterminated", "E100"),
+    ("<!-- comment -->", None),
+    ("<!-- unterminated", "E100"),
+    ("<!DOCTYPE html><p>x</p>", None),
+    ("<![CDATA[raw <stuff>]]>", None),
+    ("<?pi data ?>", None),
+    ("&amp;", None),
+    ("</stray>", "W101"),
+    ("<p a=1 b='2' c=\"3\">x</p>", None),
+    ("<div/>", None),
+]
+
+
+def test_corpus():
+    failures = []
+    for snippet, expected in CORPUS:
+        codes = codes_for(snippet)
+        if expected is None:
+            if codes:
+                failures.append((snippet, "expected clean log", codes))
+        elif expected not in codes:
+            failures.append((snippet, f"expected {expected}", codes))
+    assert not failures, failures
+
+
+def test_autoclose_cascade_order():
+    """W100 fires innermost-first when an outer close forces the
+    cascade (parser.py:357-383)."""
+    p = Parser(get_dialect("html"))
+    p.parse("<a><b><c>x</a>")
+    w = [rec for rec in p.log if rec["code"] == "W100"]
+    assert [rec["arg"][0] for rec in w] == ["c", "b"]
+
+
+def test_eof_sweep_reports_all_open():
+    p = Parser(get_dialect("html"))
+    p.parse("<a><b>")
+    e = [rec["arg"][0] for rec in p.log if rec["code"] == "E100"]
+    assert e == ["a", "b"]
+
+
+def test_min_one_char_progress_on_lone_lt():
+    p = Parser(get_dialect("html"))
+    doc = p.parse("a < b & c")
+    text = "".join(n.data for n in doc.iter() if n.name in ("#text", "#entity"))
+    assert text == "a < b & c"
+
+
+def test_line_col_tracking():
+    p = Parser(get_dialect("html"))
+    p.parse("line one\nline two <node>")
+    e = [rec for rec in p.log if rec["code"] == "E100"]
+    assert e and e[0]["line"] == 2 and e[0]["col"] == 10
+
+
+def test_attribute_parsing():
+    p = Parser(get_dialect("html"))
+    doc = p.parse('<a href="http://x" id=5 checked>t</a>')
+    el = doc.get_nodes_by_name("a")[0]
+    assert el["href"] == "http://x"
+    assert el["id"] == "5"
+    assert el["checked"] == ""
+    assert el.attr_order == ["href", "id", "checked"]
+
+
+def test_rawtext_keeps_body_verbatim():
+    p = Parser(get_dialect("html"))
+    doc = p.parse("<style>a > b { x: 1 }</style>")
+    raw = doc.get_nodes_by_name("style")[0]
+    assert raw.data == "a > b { x: 1 }"
+    assert raw.child is None
+
+
+def test_adjacent_text_merging_spans():
+    """Text merged across a dropped lone '<' keeps coalesced spans
+    (reference merges adjacent Text eagerly, parser.py:342-355)."""
+    p = Parser(get_dialect("html"))
+    doc = p.parse("x < y")
+    texts = [n for n in doc.child if n.name == "#text"]
+    assert len(texts) == 1
+    assert texts[0].data == "x < y"
+    assert texts[0].spans == [(0, 5)]

@@ -1,0 +1,90 @@
+"""Distributed == single-process oracle, and resume semantics.
+
+The north-rule gate: the Ray pipeline's extracted text + spans must be
+byte-identical per (conv_id, turn_idx) to the pure-function oracle
+under stable turn ordering; chunked runs must resume exactly."""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from lexor_ray.extract import Extractor
+from lexor_ray.pipeline import (
+    extract_ds,
+    read_transcripts,
+    run_extraction,
+    stable_order,
+    transcript_schema,
+)
+from lexor_ray.transcripts import generate_transcripts, transcripts_dir
+
+
+@pytest.fixture(scope="module")
+def small_dir(ray_session):
+    return transcripts_dir(0.001)
+
+
+def test_generator_deterministic():
+    a = generate_transcripts(200, seed=42)
+    b = generate_transcripts(200, seed=42)
+    assert a.equals(b)
+    assert a.schema.equals(transcript_schema())
+
+
+def test_ray_matches_oracle(ray_session, small_dir):
+    ds = read_transcripts(small_dir)
+    out = stable_order(extract_ds(ds, batch_size=128, concurrency=2))
+    rows = out.take_all()
+    ex = Extractor()
+    src = pq.read_table(
+        os.path.join(small_dir), columns=["conv_id", "turn_idx", "text"]
+    ).to_pylist()
+    oracle = {
+        (r["conv_id"], r["turn_idx"]): ex.extract_one(r["text"]) for r in src
+    }
+    assert len(rows) == len(oracle)
+    prev_key = None
+    for row in rows:
+        key = (row["conv_id"], row["turn_idx"])
+        if prev_key is not None:
+            assert key > prev_key  # stable turn ordering
+        prev_key = key
+        want = oracle[key]
+        assert row["extracted_text"] == want["extracted_text"], key
+        got_spans = [(s["start"], s["end"]) for s in row["spans"]]
+        assert got_spans == [tuple(s) for s in want["spans"]], key
+        assert [r["code"] for r in row["log"]] == [
+            r["code"] for r in want["log"]
+        ], key
+
+
+def test_run_extraction_resumable(ray_session, small_dir, tmp_path):
+    out_dir = str(tmp_path / "out")
+    s1 = run_extraction(small_dir, out_dir, files_per_chunk=1, concurrency=2)
+    assert s1["chunks_total"] >= 2 and s1["chunks_skipped"] == 0
+    # simulate a crashed run missing the last chunk
+    parts = sorted(os.listdir(os.path.join(out_dir, "manifest")))
+    victim = parts[-1]
+    os.remove(os.path.join(out_dir, "manifest", victim))
+    shutil.rmtree(os.path.join(out_dir, "data", victim[: -len(".json")]))
+    s2 = run_extraction(small_dir, out_dir, files_per_chunk=1, concurrency=2)
+    assert s2["chunks_skipped"] == s2["chunks_total"] - 1
+    assert s2["rows"] == s1["rows"]
+    # manifest carries lineage: rule hits and span checksum
+    import json
+
+    with open(os.path.join(out_dir, "manifest", parts[0])) as fh:
+        rec = json.load(fh)
+    assert rec["rows"] > 0
+    assert sum(rec["rule_hits"].values()) > 0
+    assert "span_checksum_xor" in rec
+
+
+def test_rerun_is_idempotent(ray_session, small_dir, tmp_path):
+    out_dir = str(tmp_path / "out2")
+    s1 = run_extraction(small_dir, out_dir, files_per_chunk=2, concurrency=2)
+    s2 = run_extraction(small_dir, out_dir, files_per_chunk=2, concurrency=2)
+    assert s2["chunks_skipped"] == s2["chunks_total"]
+    assert s1["rows"] == s2["rows"]
