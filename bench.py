@@ -1,0 +1,171 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(address='local',
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "turns_per_sec": ...}
+
+``--scaling`` reruns the headline extraction in fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs + scaling efficiency (the sandbox proxy for the N vs 4N
+cluster criterion, SURVEY.md §4.3) and appends nothing — record the
+numbers in BASELINE.md manually.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from lexor_ray.pipeline import extract_ds, read_transcripts
+    from lexor_ray.transcripts import sf_from_dir, transcripts_dir
+
+    sf = sf_from_dir(sf_dir)
+    bench_turns = os.environ.get("GRAFT_BENCH_TURNS")
+    if bench_turns:  # override: e.g. scaling runs use a larger input
+        sf = int(bench_turns) / 1_000_000
+    tdir = transcripts_dir(sf)
+    only = os.environ.get("GRAFT_BENCH_ONLY", "").split(",") if os.environ.get(
+        "GRAFT_BENCH_ONLY"
+    ) else None
+
+    # warm the page cache so we measure compute + shuffle, not cold IO
+    import pyarrow.dataset as pads
+
+    n_turns = pads.dataset(tdir, format="parquet").count_rows()
+
+    # warm the worker pool (untimed): force every worker process to
+    # start and import the library once, as a long-lived cluster would
+    # have — otherwise per-process import cost lands in the first
+    # timed stage.
+    import ray.data as rd
+
+    def _warm(batch):
+        import lexor_ray.extract  # noqa: F401
+
+        lexor_ray.extract.extract_one("<p>warm</p>")
+        return batch
+
+    rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        _warm, batch_size=1
+    ).materialize()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        if only is not None and name not in only:
+            return
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # headline: full extraction consumed by the production sink — a
+    # distributed parquet write (driver-side iter_batches would funnel
+    # every output block through one process and cap throughput).
+    def run_extract():
+        import shutil
+
+        out_dir = "/tmp/lexor_ray_bench/extract"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        ds = read_transcripts(tdir, override_num_blocks=num_cpus * 4)
+        out = extract_ds(ds, emit_log=True, emit_lineage=True)
+        out.write_parquet(out_dir)
+
+    timed("extract_turns", run_extract)
+
+    from lexor_ray.ops import dedup, relational, similarity, textstats
+
+    timed("q1_pricing_summary", lambda: relational.q1_pricing_summary(sf_dir).to_pandas())
+    timed(
+        "events_tumbling_window",
+        lambda: relational.events_tumbling_window(sf_dir).to_pandas(),
+    )
+    timed("exact_dedup", lambda: dedup.exact_dedup(sf_dir).to_pandas())
+    timed("minhash_dedup", lambda: dedup.minhash_dedup(sf_dir).to_pandas())
+    timed("brute_force_topk", lambda: similarity.brute_force_topk(sf_dir).to_pandas())
+    timed("token_counts", lambda: textstats.token_counts(sf_dir).to_pandas())
+
+    ray.shutdown()
+    headline = timings["extract_turns"]
+    return {
+        "metric": "extraction+ops wall time at sf (headline=extract_turns)",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / headline, 1) if headline else None,
+    }
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same job, fresh processes, num_cpus=8 then 32. Uses a 1M-turn
+    input (GRAFT_BENCH_TURNS overridable) so the job is compute-bound
+    rather than dominated by session/actor-pool startup — the honest
+    proxy for the N vs 4N cluster criterion."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=sf_dir,
+            GRAFT_BENCH_TURNS=os.environ.get("GRAFT_BENCH_TURNS", "1000000"),
+            GRAFT_BENCH_ONLY="extract_turns",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    thr_lo = lo["turns_per_sec"]
+    thr_hi = hi["turns_per_sec"]
+    eff = (thr_hi / thr_lo) / (32 / 8)
+    return {
+        "metric": "scaling efficiency (num_cpus 8 -> 32, same input)",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "turns_per_sec_8": thr_lo,
+        "turns_per_sec_32": thr_hi,
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"],
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+        return
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    print(json.dumps(run_benchmarks(sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

@@ -64,6 +64,14 @@ class Converter:
         rule = self.dialect.convert_rule(node.name)
         if not rule.copy:
             return None  # drop node + subtree (reference Text('') + normalize)
+        dc = self.dialect.drop_classes
+        if (
+            dc
+            and isinstance(node, Element)
+            and "class" in node.attrs
+            and not dc.isdisjoint(node.class_list())
+        ):
+            return None
         clone = node.clone_node() if not isinstance(node, Element) else node.clone_node(False)
         if rule.start is not None:
             clone = rule.start(self, clone) or clone

@@ -338,13 +338,20 @@ HTML = register_dialect(
     )
 )
 
+#: class-attribute boilerplate heuristic (FIXTURES.md F2)
+BOILERPLATE_CLASSES = frozenset(
+    "ad ads advert banner sidebar cookie-notice popup menu".split()
+)
+
 #: The flagship extraction dialect: parse HTML, drop boilerplate
-#: subtrees + comments/doctypes/PIs, keep Text and decoded entities.
+#: subtrees + comments/doctypes/PIs + ad/banner-class elements, keep
+#: Text and decoded entities.
 HTML_TEXT = register_dialect(
     Dialect(
         name="html-text",
         lang="html",
         parser_mapping={"__default__": _DEFAULT_PARSERS},
         converters=_TEXT_CONVERTERS,
+        drop_classes=BOILERPLATE_CLASSES,
     )
 )

@@ -48,6 +48,10 @@ class Dialect:
     parser_mapping: dict = field(default_factory=dict)
     converters: dict = field(default_factory=dict)
     writers: dict = field(default_factory=dict)
+    #: class-attribute boilerplate heuristic (reference Q2 surface,
+    #: ``elements.py:397-429``): any element whose class list
+    #: intersects this set is dropped with its subtree.
+    drop_classes: frozenset = frozenset()
 
     def resolved_parser_mapping(self) -> dict:
         """Resolve string aliases (reference ``parser.py:139-144``)."""

@@ -1,0 +1,141 @@
+"""Multimodal column plumbing: opaque binary payloads with typed
+metadata, decoded/feature-extracted by actor-pool stages.
+
+The image/audio codecs are not available in this environment, so the
+decode step is a clearly-marked deterministic stub
+(:class:`StubDecoder`) — but the Ray-side plumbing is real and tested:
+binary columns ride Arrow blocks zero-copy, batches are sized small
+for wide rows, the stage is an actor pool with per-actor setup, and
+the output layout (fixed-size feature vectors + scalar metadata) is
+what a real decoder would produce.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from .util import tbl
+
+
+def synthesize_media(sf_dir: str):
+    """Derive a deterministic binary 'media' column from documents:
+    payload = a seeded pseudo-image (bytes derived from the text) +
+    typed metadata columns (media_type, width, height). Stands in for
+    a real `(doc_id, payload, meta)` media table."""
+    ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def make(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        payloads, widths, heights = [], [], []
+        for i, t in zip(ids, texts):
+            seed = hashlib.blake2b(f"{i}".encode(), digest_size=8).digest()
+            rng = np.random.default_rng(int.from_bytes(seed, "big"))
+            w = int(8 + (i % 8))
+            h = int(8 + (i % 5))
+            payloads.append(rng.integers(0, 256, w * h, dtype=np.uint8).tobytes())
+            widths.append(w)
+            heights.append(h)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": pa.array(payloads, type=pa.binary()),
+                "media_type": pa.array(["image/fake"] * len(ids)),
+                "width": pa.array(widths, type=pa.int32()),
+                "height": pa.array(heights, type=pa.int32()),
+            }
+        )
+
+    return ds.map_batches(make, batch_format="pyarrow")
+
+
+class StubDecoder:
+    """STUB: a real deployment would decode the payload with an image
+    library here (PIL/opencv are not in this container). The stub
+    'decodes' deterministically: mean/std over raw bytes + a CRC — the
+    actor signature, batch sizing and output schema are the real
+    contract. Raises NotImplementedError for media types a real
+    decoder wouldn't fake."""
+
+    REAL_DECODE = False
+
+    def __init__(self, feature_dim: int = 4) -> None:
+        self.feature_dim = feature_dim
+
+    def decode_features(self, payload: bytes, media_type: str) -> np.ndarray:
+        if media_type not in ("image/fake",):
+            raise NotImplementedError(
+                f"no codec for {media_type!r} in this environment"
+            )
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        return np.array(
+            [
+                float(arr.mean()) if len(arr) else 0.0,
+                float(arr.std()) if len(arr) else 0.0,
+                float(len(arr)),
+                float(zlib.crc32(payload) % 1_000_000),
+            ],
+            dtype=np.float32,
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = np.stack(
+            [
+                self.decode_features(p, m)
+                for p, m in zip(
+                    batch.column("payload").to_pylist(),
+                    batch.column("media_type").to_pylist(),
+                )
+            ]
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bytes": pa.array(
+                    [len(p) for p in batch.column("payload").to_pylist()],
+                    type=pa.int64(),
+                ),
+                "features": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.reshape(-1), type=pa.float32()), self.feature_dim
+                ),
+            }
+        )
+
+
+def media_features(sf_dir: str):
+    """Binary-column pipeline: synthesize → actor-pool decode with
+    SMALL batches (wide binary rows need a low batch_size so
+    batch × concurrency fits the heap — the memory-aware rule)."""
+    ds = synthesize_media(sf_dir)
+    from .util import cached
+
+    feats = ds.map_batches(
+        lambda b: cached("stub-decoder", StubDecoder)(b),
+        batch_format="pyarrow",
+        batch_size=64,
+    )
+    return feats.sort("doc_id")
+
+
+def media_byte_totals(sf_dir: str):
+    """Scalar roll-up over the media table (SQL-checkable against the
+    deterministic synthesis): doc_id, n_bytes = width*height."""
+    ds = synthesize_media(sf_dir)
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bytes": pc.cast(
+                    pc.multiply(batch["width"], batch["height"]), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(sizes, batch_format="pyarrow").sort("doc_id")

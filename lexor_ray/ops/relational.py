@@ -1,0 +1,347 @@
+"""Relational operators over the TPC-H-ish testdata tables.
+
+The reference implements no relational operators (SURVEY.md §2.5) —
+these are the new wide operators a Ray-Data engine needs: grouped
+aggregation with map-side partials, broadcast hash joins, sort/top-k,
+and event-time windowed aggregation. Every query here has a DuckDB
+oracle in ``__ray_entry__.oracle_sql`` with matching column names.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .util import tbl
+
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filtered scan → per-batch partial grouped
+    aggregate → small groupby over the partials (the shuffle moves one
+    row per key per batch, SURVEY.md §2.5 pre-aggregation rule)."""
+    ds = tbl(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), type=pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        batch = batch.append_column("disc_price", disc_price)
+        return batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("l_quantity", "sum"),
+                ("l_extendedprice", "sum"),
+                ("disc_price", "sum"),
+                ("l_quantity", "count"),
+            ]
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    out = parts.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity_sum", alias_name="sum_qty"),
+        Sum("l_extendedprice_sum", alias_name="sum_base_price"),
+        Sum("disc_price_sum", alias_name="sum_disc_price"),
+        Sum("l_quantity_count", alias_name="count_order"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        for c, nd in (("sum_qty", 2), ("sum_base_price", 2), ("sum_disc_price", 2)):
+            i = batch.schema.get_field_index(c)
+            batch = batch.set_column(i, c, pc.round(batch[c], ndigits=nd))
+        return batch
+
+    return out.map_batches(finalize, batch_format="pyarrow").sort(
+        ["l_returnflag", "l_linestatus"]
+    )
+
+
+def q3_top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
+    """TPC-H Q3 shape. Customer is the small side → broadcast its
+    filtered key set via ``ray.put`` (semi-join, no shuffle). Orders ⋈
+    lineitem is large ⋈ large → partial-aggregate lineitem revenue per
+    orderkey first (shrinks the probe side to one row per order), then
+    a hash-partitioned ``Dataset.join``."""
+    import ray
+
+    cust = tbl(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = pa.array(
+        sorted(cust.loc[cust["c_mktsegment"] == segment, "c_custkey"].tolist()),
+        type=pa.int64(),
+    )
+    keys_ref = ray.put(keys)
+
+    def filter_orders(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["o_custkey"], value_set=ray.get(keys_ref))
+        return batch.filter(mask).select(["o_orderkey"])
+
+    orders = tbl(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        filter_orders, batch_format="pyarrow"
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        revenue = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        batch = batch.append_column("revenue", revenue)
+        return batch.group_by(["l_orderkey"]).aggregate([("revenue", "sum")])
+
+    li = tbl(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    parts = li.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    rev = parts.groupby("l_orderkey").aggregate(Sum("revenue_sum", alias_name="revenue"))
+    rev = rev.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("revenue"),
+            "revenue",
+            pc.round(b["revenue"], ndigits=2),
+        ),
+        batch_format="pyarrow",
+    )
+    joined = rev.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        # empty hash-join partitions emit schemaless blocks — normalize
+        if "l_orderkey" not in batch.schema.names:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], type=pa.int64()),
+                    "revenue": pa.array([], type=pa.float64()),
+                }
+            )
+        return batch.select(["l_orderkey", "revenue"])
+
+    joined = joined.map_batches(project, batch_format="pyarrow")
+    return joined.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(k)
+
+
+def order_priority_counts(sf_dir: str):
+    """Grouped count over orders with a date-range filter."""
+    ds = tbl(sf_dir, "orders", columns=["o_orderpriority", "o_orderdate"])
+    lo = pa.scalar(pd.Timestamp("1996-01-01"), type=pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01"), type=pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], lo),
+            pc.less(batch["o_orderdate"], hi),
+        )
+        return (
+            batch.filter(m)
+            .group_by(["o_orderpriority"])
+            .aggregate([("o_orderpriority", "count")])
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("o_orderpriority_count", alias_name="order_count"))
+        .sort("o_orderpriority")
+    )
+
+
+def customer_nation_revenue(sf_dir: str):
+    """Broadcast two-level dimension join (customer→nation), then
+    partial-aggregated revenue per nation: the classic small-side
+    broadcast pattern (ray.put once, lookup per batch)."""
+    import ray
+
+    cust = tbl(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = tbl(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    cust_to_nation = dict(
+        zip(
+            cust["c_custkey"].to_numpy(),
+            cust["c_nationkey"].map(
+                dict(zip(nation["n_nationkey"], nation["n_name"]))
+            ).to_numpy(),
+        )
+    )
+    lookup_ref = ray.put(cust_to_nation)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        names = np.array([lookup.get(int(k), "") for k in ck], dtype=object)
+        t = pa.table(
+            {"n_name": pa.array(names, type=pa.string()), "o_totalprice": batch["o_totalprice"]}
+        )
+        return t.group_by(["n_name"]).aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+        )
+
+    orders = tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    from ray.data.aggregate import Sum
+
+    out = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Sum("o_totalprice_sum", alias_name="total_revenue"),
+            Sum("o_totalprice_count", alias_name="order_count"),
+        )
+    )
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("total_revenue"),
+            "total_revenue",
+            pc.round(b["total_revenue"], ndigits=2),
+        ),
+        batch_format="pyarrow",
+    ).sort("n_name")
+
+
+def part_type_stats(sf_dir: str):
+    """Grouped min/max/avg over part — small-table aggregate coverage."""
+    ds = tbl(sf_dir, "part", columns=["p_type", "p_retailprice", "p_size"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["p_type"]).aggregate(
+            [
+                ("p_retailprice", "sum"),
+                ("p_retailprice", "count"),
+                ("p_size", "min"),
+                ("p_size", "max"),
+            ]
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_type")
+        .aggregate(
+            Sum("p_retailprice_sum", alias_name="price_sum"),
+            Sum("p_retailprice_count", alias_name="n_parts"),
+            Min("p_size_min", alias_name="min_size"),
+            Max("p_size_max", alias_name="max_size"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        avg = pc.round(
+            pc.divide(batch["price_sum"], pc.cast(batch["n_parts"], pa.float64())),
+            ndigits=2,
+        )
+        batch = batch.append_column("avg_price", avg)
+        return batch.drop_columns(["price_sum"])
+
+    return out.map_batches(finalize, batch_format="pyarrow").sort("p_type")
+
+
+def events_tumbling_window(sf_dir: str, window_s: int = 3600):
+    """Event-time tumbling window per event_type: Ray Data has no
+    watermarks, so windows are keyed aggregation over
+    ``floor(epoch/window)`` (ray_guide streaming-shaped pattern) —
+    partial per batch, then a small groupby."""
+    ds = tbl(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = pc.cast(batch["ts"], pa.int64())  # us since epoch
+        win = pc.multiply(
+            pc.cast(pc.floor(pc.divide(epoch, 1_000_000 * window_s)), pa.int64()),
+            window_s,
+        )
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_start": win,
+                "value": batch["value"],
+            }
+        )
+        return t.group_by(["event_type", "window_start"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Sum("value_sum", alias_name="value_sum"),
+            Sum("value_count", alias_name="n_events"),
+        )
+    )
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("value_sum"),
+            "value_sum",
+            pc.round(b["value_sum"], ndigits=3),
+        ),
+        batch_format="pyarrow",
+    ).sort(["event_type", "window_start"])
+
+
+def events_sessionize(sf_dir: str, gap_s: int = 600):
+    """Sessionization: per-user ordered gap analysis —
+    ``groupby(user_id).map_groups`` with a pandas body over the sorted
+    group (the per-key ordered-log pattern; shuffle key user_id).
+    Returns one row per session."""
+    ds = tbl(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff().dt.total_seconds().fillna(float("inf"))
+        sid = (gaps > gap_s).cumsum()
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("ts", "size"),
+        )
+        return out.reset_index(drop=True)
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+        .sort(["user_id", "session_start"])
+    )
+
+
+def top_customers_by_balance(sf_dir: str, k: int = 25):
+    """Sort + limit (top-k) with a deterministic tiebreak."""
+    ds = tbl(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+    return ds.sort(["c_acctbal", "c_custkey"], descending=[True, False]).limit(k)
+
+
+def lineitem_distinct_flags(sf_dir: str):
+    """Distinct values — grouped count reused as DISTINCT."""
+    ds = tbl(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["l_returnflag", "l_linestatus"]).aggregate([])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return (
+        parts.groupby(["l_returnflag", "l_linestatus"])
+        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+        .sort(["l_returnflag", "l_linestatus"])
+    )

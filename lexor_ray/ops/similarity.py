@@ -1,0 +1,244 @@
+"""Similarity search over the ``embeddings`` table.
+
+Two paths:
+
+- brute-force cosine top-k: the query matrix is broadcast once
+  (``ray.put``), each batch does one numpy matmul against it and emits
+  its local top-k candidates; a tiny groupby merges per-query
+  candidates. Exact — the oracle-checkable baseline.
+- IVF-style LSH-bucketed ANN: sign-LSH buckets with multi-probe
+  (query probes its own bucket + 1-bit flips), searching only bucket
+  members — the scale path (touches ~buckets/2^planes of the corpus).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .util import tbl
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norm = np.linalg.norm(m, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    return m / norm
+
+
+def _query_matrix(sf_dir: str, n_queries: int):
+    """The first n_queries vec_ids serve as the query set —
+    deterministic and oracle-expressible."""
+    import pyarrow.parquet as pq
+    import os
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    df = t.to_pandas().sort_values("vec_id").head(n_queries)
+    qids = df["vec_id"].to_numpy()
+    qm = _normalize(np.asarray(df["embedding"].tolist(), dtype=np.float64))
+    return qids, qm
+
+
+def brute_force_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
+    """Exact cosine top-k: per-batch matmul against the broadcast
+    query matrix → local top-k per query → merge in a per-query
+    groupby. Returns (query_id, vec_id, cosine, rank), self-matches
+    excluded; ties broken by vec_id for determinism."""
+    import ray
+
+    qids, qm = _query_matrix(sf_dir, n_queries)
+    q_ref = ray.put((qids, qm))
+    ds = tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids_, qm_ = ray.get(q_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        emb = _normalize(np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64))
+        sims = qm_ @ emb.T  # (nq, nb)
+        out_q, out_v, out_s = [], [], []
+        kk = min(k + 1, sims.shape[1])
+        for qi in range(len(qids_)):
+            row = sims[qi]
+            idx = np.argpartition(-row, kk - 1)[:kk]
+            for j in idx:
+                if ids[j] == qids_[qi]:
+                    continue
+                out_q.append(qids_[qi])
+                out_v.append(ids[j])
+                out_s.append(row[j])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        top = heapq.nsmallest(
+            k, group.itertuples(index=False), key=lambda r: (-r.cosine, r.vec_id)
+        )
+        return pd.DataFrame(
+            {
+                "query_id": [r.query_id for r in top],
+                "vec_id": [r.vec_id for r in top],
+                "cosine": [round(r.cosine, 4) for r in top],
+                "rank": list(range(1, len(top) + 1)),
+            }
+        )
+
+    return (
+        cand.groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+        .sort(["query_id", "rank"])
+    )
+
+
+def lsh_ann_topk(
+    sf_dir: str, n_queries: int = 10, k: int = 5, n_planes: int | None = None
+):
+    """Approximate top-k: corpus bucketed by sign-LSH (deterministic
+    hyperplanes from a fixed seed, rebuilt per actor); each query
+    searches its own bucket plus all 1-bit-flip probes. Recall is
+    evaluated against :func:`brute_force_topk` in tests.
+
+    ``n_planes`` defaults to ~log2(corpus/64): buckets average ≈64
+    vectors so multi-probe covers enough candidates at any scale."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    if n_planes is None:
+        n_rows = pq.ParquetFile(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).metadata.num_rows
+        n_planes = max(2, int(np.log2(max(2, n_rows / 64))))
+
+    qids, qm = _query_matrix(sf_dir, n_queries)
+    rng = np.random.default_rng(29)
+    planes = rng.standard_normal((qm.shape[1], n_planes))
+    qbits = (qm @ planes > 0).astype(np.uint32)
+    qkeys = np.zeros(len(qids), dtype=np.uint32)
+    for b in range(n_planes):
+        qkeys |= qbits[:, b] << b
+    # multi-probe: own bucket + 1-bit flips
+    probe_map: dict[int, list[int]] = {}
+    for qi, key in enumerate(qkeys):
+        for kk in [int(key)] + [int(key) ^ (1 << b) for b in range(n_planes)]:
+            probe_map.setdefault(kk, []).append(qi)
+    q_ref = ray.put((qids, qm, probe_map))
+
+    ds = tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    class BucketSearch:
+        def __init__(self) -> None:
+            r = np.random.default_rng(29)
+            self.planes = r.standard_normal((64, n_planes))
+            self.qids, self.qm, self.probe_map = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            emb = _normalize(
+                np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+            )
+            bits = (emb @ self.planes > 0).astype(np.uint32)
+            keys = np.zeros(len(ids), dtype=np.uint32)
+            for b in range(n_planes):
+                keys |= bits[:, b] << b
+            out_q, out_v, out_s = [], [], []
+            # group batch rows by bucket, search only probed buckets
+            for key in np.unique(keys):
+                queries = self.probe_map.get(int(key))
+                if not queries:
+                    continue
+                mask = keys == key
+                sub_ids = ids[mask]
+                sub = emb[mask]
+                sims = self.qm[queries] @ sub.T
+                for row, qi in zip(sims, queries):
+                    kk = min(k + 1, len(sub_ids))
+                    idx = np.argpartition(-row, kk - 1)[:kk]
+                    for j in idx:
+                        if sub_ids[j] == self.qids[qi]:
+                            continue
+                        out_q.append(self.qids[qi])
+                        out_v.append(sub_ids[j])
+                        out_s.append(row[j])
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, type=pa.int64()),
+                    "vec_id": pa.array(out_v, type=pa.int64()),
+                    "cosine": pa.array(out_s, type=pa.float64()),
+                }
+            )
+
+    from .util import cached
+
+    def search_batches(batch):
+        return cached(("lsh-search", str(q_ref)), BucketSearch)(batch)
+
+    cand = ds.map_batches(search_batches, batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.drop_duplicates("vec_id")
+        top = heapq.nsmallest(
+            k, group.itertuples(index=False), key=lambda r: (-r.cosine, r.vec_id)
+        )
+        return pd.DataFrame(
+            {
+                "query_id": [r.query_id for r in top],
+                "vec_id": [r.vec_id for r in top],
+                "cosine": [round(r.cosine, 4) for r in top],
+                "rank": list(range(1, len(top) + 1)),
+            }
+        )
+
+    return (
+        cand.groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+        .sort(["query_id", "rank"])
+    )
+
+
+def embedding_label_centroids(sf_dir: str):
+    """Per-label centroid norm — grouped vector aggregate (partial
+    sums per batch, merge in a tiny groupby). SQL-checkable scalar
+    output: label, n_vecs, centroid_norm."""
+    ds = tbl(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        uniq = np.unique(labels)
+        sums = np.stack([emb[labels == u].sum(axis=0) for u in uniq])
+        counts = np.array([(labels == u).sum() for u in uniq], dtype=np.int64)
+        return pa.table(
+            {
+                "label": pa.array(uniq.astype(np.int32)),
+                "vec_sum": pa.array(list(sums)),
+                "n": pa.array(counts),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        vs = np.asarray(group["vec_sum"].tolist(), dtype=np.float64).sum(axis=0)
+        n = int(group["n"].sum())
+        centroid = vs / max(n, 1)
+        return pd.DataFrame(
+            {
+                "label": [int(group["label"].iloc[0])],
+                "n_vecs": [n],
+                "centroid_norm": [round(float(np.linalg.norm(centroid)), 4)],
+            }
+        )
+
+    return parts.groupby("label").map_groups(merge, batch_format="pandas").sort("label")

@@ -1,0 +1,233 @@
+"""Text-analysis operators over the ``documents`` table: token
+counting, quality counts/scores, language ID, document fingerprinting.
+
+All per-row computations are vectorized where a kernel exists
+(pyarrow.compute string kernels / pandas str) and actor-pooled where
+state is needed (compiled regexes, marker tables) — the §2.7 pattern.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .util import tbl
+
+
+def token_counts(sf_dir: str):
+    """doc_id, n_chars, n_tokens (whitespace tokens) — fully
+    vectorized with pyarrow kernels; no Python loop."""
+    ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_chars = pc.utf8_length(text)
+        toks = pc.count_substring_regex(text, r"\S+")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": pc.cast(n_chars, pa.int64()),
+                "n_tokens": pc.cast(toks, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(counts, batch_format="pyarrow").sort("doc_id")
+
+
+def quality_counts(sf_dir: str):
+    """Integer quality signals (SQL-checkable, no float hashing):
+    n_chars, n_words, n_punct, n_digits, n_upper."""
+    ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+                "n_words": pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()),
+                "n_punct": pc.cast(
+                    pc.count_substring_regex(text, r"[!-/:-@\[-`{-~]"), pa.int64()
+                ),
+                "n_digits": pc.cast(pc.count_substring_regex(text, r"[0-9]"), pa.int64()),
+                "n_upper": pc.cast(pc.count_substring_regex(text, r"[A-Z]"), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(counts, batch_format="pyarrow").sort("doc_id")
+
+
+class QualityScorer:
+    """Composite quality score (heuristic floats → rows-only check):
+    stopword ratio, mean word length, punctuation ratio, length."""
+
+    STOPWORDS = frozenset(
+        "the a an and or of to in is are was were be been it this that".split()
+    )
+
+    def __init__(self) -> None:
+        self.word_re = re.compile(r"[A-Za-z']+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        words = texts.str.lower().str.findall(self.word_re)
+        n_words = words.map(len).clip(lower=1)
+        stop_ratio = words.map(
+            lambda ws: sum(w in self.STOPWORDS for w in ws)
+        ) / n_words
+        mean_wlen = words.map(lambda ws: sum(map(len, ws))).astype(float) / n_words
+        n_chars = texts.str.len().clip(lower=1)
+        punct_ratio = texts.str.count(r"[!-/:-@\[-`{-~]") / n_chars
+        score = (
+            0.35 * stop_ratio.clip(0, 0.6) / 0.6
+            + 0.25 * (1 - (mean_wlen - 5).abs().clip(0, 5) / 5)
+            + 0.2 * (1 - punct_ratio.clip(0, 0.5) / 0.5)
+            + 0.2 * (n_chars.clip(0, 2000) / 2000)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "stop_ratio": stop_ratio.round(4),
+                "mean_word_len": mean_wlen.round(4),
+                "punct_ratio": punct_ratio.round(4),
+                "quality_score": score.round(4),
+            }
+        )
+
+
+def quality_scores(sf_dir: str):
+    ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    from .util import cached
+
+    return ds.map_batches(
+        lambda b: cached("quality-scorer", QualityScorer)(b),
+        batch_format="pandas",
+    ).sort("doc_id")
+
+
+class LangId:
+    """Marker-word + n-gram heuristic language ID for the five corpus
+    languages. Marker tables compiled once per actor."""
+
+    MARKERS = {
+        "en": {"the", "and", "of", "to", "is", "in", "that", "it", "with", "for"},
+        "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"},
+        "fr": {"le", "la", "les", "et", "est", "une", "des", "que", "pour", "dans"},
+        "es": {"el", "la", "los", "las", "y", "es", "una", "que", "por", "con"},
+        "zh": set(),  # CJK detected by codepoint range, not markers
+    }
+
+    def __init__(self) -> None:
+        self.word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
+        self.cjk = re.compile(r"[一-鿿]")
+
+    def predict(self, text: str) -> str:
+        text = text or ""
+        if self.cjk.search(text):
+            return "zh"
+        words = self.word_re.findall(text.lower())
+        if not words:
+            return "en"
+        best, best_n = "en", -1
+        for lang, markers in self.MARKERS.items():
+            if not markers:
+                continue
+            n = sum(w in markers for w in words)
+            if n > best_n:
+                best, best_n = lang, n
+        return best
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "pred_lang": [self.predict(t) for t in batch["text"]],
+                "lang": batch["lang"],
+            }
+        )
+
+
+def lang_id(sf_dir: str):
+    ds = tbl(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    from .util import cached
+
+    return ds.map_batches(
+        lambda b: cached("lang-id", LangId)(b), batch_format="pandas"
+    ).sort("doc_id")
+
+
+class Fingerprinter:
+    """Winnowing document fingerprint: rolling hash over character
+    k-grams, keep the min hash in each window of w, xor-fold to one
+    64-bit fingerprint (public scheme: Schleimer et al., SIGMOD'03)."""
+
+    def __init__(self, k: int = 8, w: int = 16) -> None:
+        self.k = k
+        self.w = w
+
+    def fingerprint(self, text: str) -> int:
+        t = (text or "").encode("utf-8")
+        k, w = self.k, self.w
+        if len(t) < k:
+            return int.from_bytes(
+                hashlib.blake2b(t, digest_size=8).digest(), "big"
+            )
+        arr = np.frombuffer(t, dtype=np.uint8)
+        n = len(arr) - k + 1
+        # polynomial rolling hash, vectorized via cumulative powers
+        base = np.uint64(257)
+        powers = np.empty(k, dtype=np.uint64)
+        powers[0] = 1
+        for i in range(1, k):
+            powers[i] = powers[i - 1] * base
+        windows = np.lib.stride_tricks.sliding_window_view(arr, k).astype(np.uint64)
+        hashes = (windows * powers[::-1]).sum(axis=1)
+        if n <= w:
+            sel = hashes.min()
+            return int(sel)
+        mins = np.lib.stride_tricks.sliding_window_view(hashes, w).min(axis=1)
+        fp = np.uint64(0)
+        for m in np.unique(mins):
+            fp ^= np.uint64(m)
+        return int(fp)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = np.array(
+            [self.fingerprint(t) for t in batch.column("text").to_pylist()],
+            dtype=np.uint64,
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "fingerprint": pa.array(fps, type=pa.uint64())}
+        )
+
+
+def fingerprints(sf_dir: str):
+    ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    from .util import cached
+
+    return ds.map_batches(
+        lambda b: cached("fingerprinter", Fingerprinter)(b),
+        batch_format="pyarrow",
+    ).sort("doc_id")
+
+
+def lang_distribution(sf_dir: str):
+    """Grouped count by the gold lang label (SQL-checkable)."""
+    ds = tbl(sf_dir, "documents", columns=["lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["lang"]).aggregate([("lang", "count")])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("lang_count", alias_name="n_docs"))
+        .sort("lang")
+    )

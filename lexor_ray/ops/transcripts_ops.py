@@ -1,0 +1,203 @@
+"""Queries over the synthetic transcripts table — the flagship
+extraction pipeline plus its log analytics and SQL-checkable
+relational shapes over the same table.
+
+The transcripts parquet lives at a deterministic path derived from the
+sf dir (``lexor_ray.transcripts.transcripts_for``), so the DuckDB
+oracle can read the very same files with ``read_parquet``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..pipeline import extract_ds, read_transcripts, stable_order
+from ..transcripts import transcripts_for
+from .util import tbl  # noqa: F401  (symmetry with other ops modules)
+
+
+def extract_turns(sf_dir: str):
+    """The flagship: extracted text + spans per turn under stable
+    ordering. Non-SQL-expressible (HTML parse) → rows-only check;
+    byte-equality vs the single-process oracle is asserted in
+    tests/test_pipeline.py."""
+    src = transcripts_for(sf_dir)
+    ds = read_transcripts(src)
+    out = extract_ds(ds, batch_size=512)
+
+    def project(batch: pa.Table) -> pa.Table:
+        n_spans = pc.cast(pc.list_value_length(batch["spans"]), pa.int64())
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "extracted_text": batch["extracted_text"],
+                "n_spans": n_spans,
+                "n_extracted_chars": pc.cast(
+                    pc.utf8_length(batch["extracted_text"]), pa.int64()
+                ),
+            }
+        )
+
+    return stable_order(out.map_batches(project, batch_format="pyarrow"))
+
+
+def extraction_log_summary(sf_dir: str):
+    """Log analytics (SURVEY.md §2.5 A1 as a dataset op): flatten the
+    per-row log column and roll up counts per message code."""
+    src = transcripts_for(sf_dir)
+    ds = read_transcripts(src)
+    out = extract_ds(ds, batch_size=512, emit_lineage=False)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        codes = []
+        for row in batch.column("log").to_pylist():
+            codes.extend(rec["code"] for rec in row)
+        t = pa.table({"code": pa.array(codes, type=pa.string())})
+        return t.group_by(["code"]).aggregate([("code", "count")])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        out.map_batches(explode, batch_format="pyarrow")
+        .groupby("code")
+        .aggregate(Sum("code_count", alias_name="n_msgs"))
+        .sort("code")
+    )
+
+
+def conversation_stats_salted(sf_dir: str):
+    """Same result as :func:`turns_per_conversation` but via the
+    salted-hot-key two-pass of ``pipeline.conversation_stats`` — the
+    skew-safe path; oracle-checked against the same SQL."""
+    import ray.data
+
+    from ..pipeline import conversation_stats
+
+    src = transcripts_for(sf_dir)
+    ds = ray.data.read_parquet(src, columns=["conv_id", "turn_idx", "text"])
+    return conversation_stats(ds)
+
+
+class MarkdownBatch:
+    """Actor-pool stage for the html→markdown style (NodeWriter
+    machinery end-to-end over the transcripts table)."""
+
+    def __init__(self) -> None:
+        from ..core.converter import Converter
+        from ..core.parser import Parser
+        from ..core.writer import Writer
+        from ..dialects.markdown import HTML_MARKDOWN
+
+        self.parser = Parser(HTML_MARKDOWN)
+        self.converter = Converter(HTML_MARKDOWN)
+        self.writer = Writer(HTML_MARKDOWN)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        md = []
+        for text in batch.column("text").to_pylist():
+            doc = self.parser.parse(text or "")
+            out = self.converter.convert(doc)
+            md.append(self.writer.write(out).strip("\n"))
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "markdown": pa.array(md, type=pa.string()),
+            }
+        )
+
+
+def extract_markdown(sf_dir: str):
+    """Flagship variant: html→markdown per turn (rows-only check)."""
+    import ray.data
+
+    src = transcripts_for(sf_dir)
+    ds = ray.data.read_parquet(src, columns=["conv_id", "turn_idx", "text"])
+    from .util import cached
+
+    out = ds.map_batches(
+        lambda b: cached("markdown", MarkdownBatch)(b),
+        batch_format="pyarrow",
+        batch_size=512,
+    )
+    return out.sort(["conv_id", "turn_idx"])
+
+
+def turns_per_conversation(sf_dir: str):
+    """SQL-checkable relational shape over transcripts: per-conv turn
+    count + total text length (partial agg per batch → small
+    groupby)."""
+    import ray.data
+
+    src = transcripts_for(sf_dir)
+    ds = ray.data.read_parquet(src, columns=["conv_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            }
+        )
+        return t.group_by(["conv_id"]).aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")]
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(
+            Sum("n_chars_sum", alias_name="total_chars"),
+            Sum("n_chars_count", alias_name="n_turns"),
+        )
+        .sort("conv_id")
+    )
+
+
+def role_distribution(sf_dir: str):
+    """SQL-checkable: rows per role."""
+    import ray.data
+
+    src = transcripts_for(sf_dir)
+    ds = ray.data.read_parquet(src, columns=["role"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["role"]).aggregate([("role", "count")])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("role")
+        .aggregate(Sum("role_count", alias_name="n_turns"))
+        .sort("role")
+    )
+
+
+def exact_dedup_turns(sf_dir: str):
+    """Exact dedup keyed on (conv_id, turn_idx) — input hygiene for
+    repeated ingestion (SURVEY.md §2.5): keep first, count copies.
+    The synthetic table has no dups, so this asserts the identity —
+    SQL-checkable either way."""
+    import ray.data
+
+    src = transcripts_for(sf_dir)
+    ds = ray.data.read_parquet(src, columns=["conv_id", "turn_idx"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["conv_id", "turn_idx"]).aggregate(
+            [("turn_idx", "count")]
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["conv_id", "turn_idx"])
+        .aggregate(Sum("turn_idx_count", alias_name="n_copies"))
+        .sort(["conv_id", "turn_idx"])
+    )

@@ -173,31 +173,75 @@ def default_concurrency() -> int:
     return 4
 
 
+#: per-worker-process extractor cache: the stateless-task equivalent
+#: of actor ``__init__`` state — Ray reuses worker processes across
+#: tasks, so the compiled dialect registries are built once per worker
+#: and amortized exactly like actor state, WITHOUT the actor-pool
+#: dispatch overhead (measured 1.7-3x slower than the task pool for
+#: this workload on Ray 2.49 local mode; see BASELINE.md).
+_WORKER_EXTRACTORS: dict[tuple, "ExtractBatch"] = {}
+
+
+def _extract_batches(batch, dialect, emit_log, emit_lineage, max_batch_chars):
+    key = (dialect, emit_log, emit_lineage, max_batch_chars)
+    ex = _WORKER_EXTRACTORS.get(key)
+    if ex is None:
+        ex = _WORKER_EXTRACTORS[key] = ExtractBatch(
+            dialect=dialect,
+            emit_log=emit_log,
+            emit_lineage=emit_lineage,
+            max_batch_chars=max_batch_chars,
+        )
+    yield from ex(batch)
+
+
 def extract_ds(
     ds,
     dialect: str = "html-text",
-    batch_size: int = 1024,
+    batch_size: int | None = None,
     concurrency=None,
     emit_log: bool = True,
     emit_lineage: bool = True,
+    max_batch_chars: int = 8_000_000,
+    use_actors: bool = False,
 ):
     """Attach the fused extraction stage to a transcripts Dataset.
 
-    ``concurrency`` sizes the actor pool (default: cluster CPUs - 1 so
-    the read/write stages are not starved); ``num_cpus=1`` per actor —
-    the UDF is pure-Python CPU-bound, no benefit from wider actors.
+    Default path: stateless tasks with a per-worker extractor cache
+    (state amortized per worker process, elastic scheduling).
+    ``use_actors=True`` switches to the explicit actor pool
+    (``concurrency`` = pool size) — semantically identical; useful
+    when the stage must pin resources. ``batch_size=None`` processes
+    whole blocks; the char-budget inside :class:`ExtractBatch` still
+    splits pathological long-turn batches.
     """
-    if concurrency is None:
-        concurrency = default_concurrency()
+    import functools
+
+    if use_actors:
+        if concurrency is None:
+            concurrency = default_concurrency()
+        return ds.map_batches(
+            ExtractBatch,
+            fn_constructor_kwargs=dict(
+                dialect=dialect,
+                emit_log=emit_log,
+                emit_lineage=emit_lineage,
+                max_batch_chars=max_batch_chars,
+            ),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    fn = functools.partial(
+        _extract_batches,
+        dialect=dialect,
+        emit_log=emit_log,
+        emit_lineage=emit_lineage,
+        max_batch_chars=max_batch_chars,
+    )
     return ds.map_batches(
-        ExtractBatch,
-        fn_constructor_kwargs=dict(
-            dialect=dialect, emit_log=emit_log, emit_lineage=emit_lineage
-        ),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
+        fn, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
     )
 
 
@@ -216,6 +260,64 @@ def stable_order(ds):
     ``(conv_id, turn_idx)``. Apply only at comparison/export time —
     this is the expensive all-to-all path (SURVEY.md §7.4.5)."""
     return ds.sort(["conv_id", "turn_idx"])
+
+
+def order_within_conversations(ds):
+    """Cheaper ordering when only *per-conversation* turn order
+    matters (the comparison invariant): shuffle key ``conv_id`` only,
+    sort by ``turn_idx`` inside each group — no global sort
+    (SURVEY.md §2.5 'stable turn ordering')."""
+    import pyarrow as pa
+
+    def sort_group(t: pa.Table) -> pa.Table:
+        return t.sort_by("turn_idx")
+
+    return ds.groupby("conv_id").map_groups(sort_group, batch_format="pyarrow")
+
+
+def conversation_stats(ds, salt_buckets: int = 8):
+    """Per-conversation roll-up (n_turns, total_chars) with **salted
+    keys**: pass 1 groups by ``(conv_id, salt)`` so a pathological
+    conversation with millions of turns spreads over ``salt_buckets``
+    reducers; pass 2 merges the tiny salted partials per conv_id
+    (SURVEY.md §4.3 hot-key design — ordering-free because the
+    aggregate is associative)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        salt = pc.cast(
+            pc.bit_wise_and(batch["turn_idx"], salt_buckets - 1), pa.int32()
+        )
+        t = pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "salt": salt,
+                "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            }
+        )
+        return t.group_by(["conv_id", "salt"]).aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")]
+        )
+
+    from ray.data.aggregate import Sum
+
+    salted = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["conv_id", "salt"])
+        .aggregate(
+            Sum("n_chars_sum", alias_name="chars"),
+            Sum("n_chars_count", alias_name="turns"),
+        )
+    )
+    return (
+        salted.groupby("conv_id")
+        .aggregate(
+            Sum("chars", alias_name="total_chars"),
+            Sum("turns", alias_name="n_turns"),
+        )
+        .sort("conv_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -84,15 +84,24 @@ def _make_text(rng: np.random.Generator) -> str:
         parts.append(f'<img src="x{int(rng.integers(0,99))}.png" alt="{_sentence(rng,1,3)}">')
     if rng.random() < 0.04:
         parts.append(f"<?pi {_sentence(rng, 1, 3)} ?>")
-    if rng.random() < 0.002:  # rare huge tool dump (length skew)
-        parts.append("<pre>" + " ".join([_sentence(rng, 8, 16)] * 400) + "</pre>")
+    if rng.random() < 0.06:  # class-based boilerplate (F2)
+        cls = ["ad", "banner", "sidebar", "cookie-notice"][int(rng.integers(0, 4))]
+        parts.append(f'<div class="{cls} wide">{_sentence(rng, 3, 8)}</div>')
+    if rng.random() < 0.001:  # rare huge tool dump (heavy-tail skew)
+        parts.append("<pre>" + " ".join([_sentence(rng, 8, 16)] * 2500) + "</pre>")
     return "\n".join(parts)
+
+
+#: bump when generation logic changes — invalidates cached dirs
+GEN_VERSION = "v2"
 
 
 def generate_transcripts(n_turns: int, seed: int = SEED) -> pa.Table:
     """Build an n_turns-row transcripts table, deterministic in
-    (n_turns, seed). Conversations have 2–16 turns; roles alternate
-    user/assistant with occasional tool turns."""
+    (n_turns, seed). Per FIXTURES.md F1: Zipf-distributed conversation
+    sizes (hot conv_ids exercise the salted-key path), rows emitted in
+    globally SHUFFLED order (stable-turn-ordering is really
+    exercised), roles alternate user/assistant with tool turns."""
     rng = np.random.default_rng(seed)
     conv_ids: list[str] = []
     turn_idx: list[int] = []
@@ -103,7 +112,8 @@ def generate_transcripts(n_turns: int, seed: int = SEED) -> pa.Table:
     base_ts = 1_700_000_000_000_000  # us epoch, fixed
     conv = 0
     while len(texts) < n_turns:
-        n = int(rng.integers(2, 17))
+        # Zipf tail: most convs are short, a few are very hot
+        n = 2 + min(int(rng.zipf(1.6)), 498)
         n = min(n, n_turns - len(texts))
         cid = f"conv-{conv:08d}"
         t0 = base_ts + int(rng.integers(0, 10**9))
@@ -119,7 +129,7 @@ def generate_transcripts(n_turns: int, seed: int = SEED) -> pa.Table:
             t0 += int(rng.integers(1_000_000, 60_000_000))
             ts.append(t0)
         conv += 1
-    return pa.table(
+    tbl = pa.table(
         {
             "conv_id": pa.array(conv_ids, type=pa.string()),
             "turn_idx": pa.array(turn_idx, type=pa.int32()),
@@ -129,6 +139,10 @@ def generate_transcripts(n_turns: int, seed: int = SEED) -> pa.Table:
             "ts": pa.array(ts, type=pa.timestamp("us")),
         }
     )
+    # globally shuffle row order (seeded) — input files must NOT
+    # arrive pre-sorted by (conv_id, turn_idx)
+    perm = rng.permutation(tbl.num_rows)
+    return tbl.take(pa.array(perm))
 
 
 def sf_to_turns(sf: float) -> int:
@@ -148,8 +162,14 @@ def transcripts_dir(sf: float, base: str = DEFAULT_BASE, seed: int = SEED) -> st
     n = sf_to_turns(sf)
     out = os.path.join(base, f"sf{sf:g}", "transcripts")
     marker = os.path.join(out, "_DONE")
+    stamp = f"n_turns={n} seed={seed} gen={GEN_VERSION}\n"
     if os.path.exists(marker):
-        return out
+        with open(marker) as fh:
+            if fh.read() == stamp:
+                return out
+        import shutil
+
+        shutil.rmtree(out)  # stale generator version — rebuild
     os.makedirs(out, exist_ok=True)
     tbl = generate_transcripts(n, seed)
     rows_per_file = 25_000
@@ -160,7 +180,7 @@ def transcripts_dir(sf: float, base: str = DEFAULT_BASE, seed: int = SEED) -> st
         if part.num_rows:
             pq.write_table(part, os.path.join(out, f"turns-{i:05d}.parquet"))
     with open(marker, "w") as fh:
-        fh.write(f"n_turns={n} seed={seed}\n")
+        fh.write(stamp)
     return out
 
 

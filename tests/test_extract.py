@@ -76,6 +76,26 @@ def test_log_precedence_parser_before_converter():
     assert res["log"][0]["code"] == "E100"
 
 
+def test_class_based_boilerplate_drop():
+    r = extract_one('<p>a</p><div class="ad wide">x</div><span class="banner">y</span>b')
+    assert r["extracted_text"] == "ab"
+
+
+def test_fused_path_equals_converter_path():
+    """The fused single-walk extractor must be byte-identical to the
+    full Converter + TextSpanWriter path on random documents."""
+    from lexor_ray.extract import Extractor, TextSpanWriter
+    from lexor_ray.transcripts import generate_transcripts
+
+    ex = Extractor()
+    assert ex._pure
+    for t in generate_transcripts(300, seed=9).column("text").to_pylist():
+        doc = ex.parser.parse(t)
+        fused = ex._extract_fused(doc)
+        full = TextSpanWriter.write(ex.converter.convert(ex.parser.parse(t)))
+        assert fused == full, t[:120]
+
+
 def test_fast_path_equals_parser_path():
     """Rows without markup chars take the identity fast path; verify it
     agrees with the full parse."""

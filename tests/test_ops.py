@@ -1,0 +1,138 @@
+"""Operator tests at sf0.001 — each family smoke + a semantic check."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def df(ds) -> pd.DataFrame:
+    return ds.to_pandas()
+
+
+def test_exact_dedup_matches_duckdb(ray_session):
+    import duckdb
+
+    from lexor_ray.ops.dedup import exact_dedup
+
+    got = df(exact_dedup(SF)).sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    want = con.sql(
+        f"SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies "
+        f"FROM read_parquet('{SF}/documents.parquet') GROUP BY text ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_minhash_finds_exact_duplicates(ray_session):
+    """Exact duplicates have Jaccard 1.0 and must surface as near-dup
+    pairs; verified pairs must all clear the threshold."""
+    import duckdb
+
+    from lexor_ray.ops.dedup import minhash_dedup
+
+    got = df(minhash_dedup(SF, threshold=0.8))
+    con = duckdb.connect()
+    dup_pairs = con.sql(
+        f"""WITH d AS (SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet'))
+            SELECT a.doc_id AS a, b.doc_id AS b FROM d a JOIN d b
+            ON a.text = b.text AND a.doc_id < b.doc_id"""
+    ).df()
+    found = set(zip(got["a"], got["b"]))
+    for pair in zip(dup_pairs["a"], dup_pairs["b"]):
+        assert pair in found, f"exact dup {pair} missed by MinHash-LSH"
+    assert (got["jaccard"] >= 0.8).all()
+
+
+def test_simhash_exact_dups_have_zero_hamming(ray_session):
+    from lexor_ray.ops.dedup import simhash_candidates
+
+    got = df(simhash_candidates(SF, max_hamming=0))
+    assert (got["hamming"] == 0).all()
+
+
+def test_brute_force_topk_is_exact(ray_session):
+    """Distributed top-k equals a local numpy computation."""
+    import pyarrow.parquet as pq
+
+    from lexor_ray.ops.similarity import brute_force_topk
+
+    got = df(brute_force_topk(SF, n_queries=5, k=3))
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas().sort_values("vec_id")
+    ids = t["vec_id"].to_numpy()
+    emb = np.asarray(t["embedding"].tolist(), dtype=np.float64)
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    for qi in range(5):
+        sims = emb[qi] @ emb.T
+        order = sorted(
+            [(s, v) for s, v in zip(sims, ids) if v != ids[qi]],
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        sub = got[got["query_id"] == ids[qi]].sort_values("rank")
+        assert list(sub["vec_id"]) == [v for _, v in order]
+
+
+def test_lsh_ann_recall(ray_session):
+    """The approximate path must recover most of the exact top-k."""
+    from lexor_ray.ops.similarity import brute_force_topk, lsh_ann_topk
+
+    exact = df(brute_force_topk(SF, n_queries=10, k=5))
+    approx = df(lsh_ann_topk(SF, n_queries=10, k=5))
+    e = set(zip(exact["query_id"], exact["vec_id"]))
+    a = set(zip(approx["query_id"], approx["vec_id"]))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_lang_id_accuracy(ray_session):
+    """Documents carry gold labels; the corpus is synthetic English-ish
+    word soup so just assert the op runs and emits valid labels."""
+    from lexor_ray.ops.textstats import LangId, lang_id
+
+    got = df(lang_id(SF))
+    assert set(got["pred_lang"]).issubset(set(LangId.MARKERS))
+    assert len(got) == 500
+
+
+def test_token_counts_vectorized_matches_python(ray_session):
+    from lexor_ray.ops.textstats import token_counts
+    import pyarrow.parquet as pq
+
+    got = df(token_counts(SF)).set_index("doc_id")
+    t = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    for _, row in t.head(50).iterrows():
+        assert got.loc[row["doc_id"], "n_tokens"] == len(row["text"].split())
+        assert got.loc[row["doc_id"], "n_chars"] == len(row["text"])
+
+
+def test_media_features_stub_contract(ray_session):
+    from lexor_ray.ops.multimodal import StubDecoder, media_features
+
+    got = df(media_features(SF))
+    assert len(got) == 500
+    assert all(len(f) == 4 for f in got["features"])
+    dec = StubDecoder()
+    with pytest.raises(NotImplementedError):
+        dec.decode_features(b"xx", "image/png")
+
+
+def test_sessionize_gap_semantics(ray_session):
+    from lexor_ray.ops.relational import events_sessionize
+
+    got = df(events_sessionize(SF, gap_s=600))
+    # sessions of one user never overlap and are ordered
+    for _, g in got.groupby("user_id"):
+        g = g.sort_values("session_start")
+        assert (g["session_end"].values[:-1] <= g["session_start"].values[1:]).all()
+    assert (got["n_events"] >= 1).all()
+
+
+def test_windowed_agg_total_preserved(ray_session):
+    import pyarrow.parquet as pq
+
+    from lexor_ray.ops.relational import events_tumbling_window
+
+    got = df(events_tumbling_window(SF))
+    t = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    assert int(got["n_events"].sum()) == len(t)
