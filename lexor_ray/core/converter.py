@@ -42,6 +42,9 @@ class Converter:
         clone, never mutates the source — ``converter.py:337``)."""
         self.log = []
         out = doc.clone_node()  # shallow: root always copied (converter.py:333-337)
+        init = self.dialect.hooks.get("convert_init")
+        if init is not None:  # reference init_conversion (converter.py:339-340)
+            init(self, out)
         root_rule = self.dialect.convert_rule(doc.name)
         if root_rule.start is not None:
             out = root_rule.start(self, out) or out
@@ -58,6 +61,9 @@ class Converter:
         if root_rule.end is not None:
             out = root_rule.end(self, out) or out
         out.normalize()
+        done = self.dialect.hooks.get("convert_done")
+        if done is not None:  # reference style-level convert (converter.py:215-216)
+            out = done(self, out) or out
         return out
 
     def _convert_node(self, node: Node) -> Node | None:

@@ -95,6 +95,109 @@ class Node:
         node = self.child[index]
         return node.detach()
 
+    def remove_children(self) -> None:
+        """Reference ``node.py:262-266``."""
+        if self.child:
+            for c in self.child:
+                c.parent = None
+            self.child = []
+
+    def _reindex(self, start: int = 0) -> None:
+        assert self.child is not None
+        for i in range(start, len(self.child)):
+            self.child[i].index = i
+
+    def insert_before(self, index: int, node: "Node | str") -> "Node":
+        """Insert a child at ``index`` (reference ``node.py:328-340``)."""
+        if self.child is None:
+            raise TypeError(f"{self.name} does not accept children")
+        if isinstance(node, str):
+            node = Text(node)
+        if node.parent is not None:
+            node.detach()
+        node.parent = self
+        self.child.insert(index, node)
+        self._reindex(index)
+        return node
+
+    def extend_before(self, index: int, nodes) -> "Node":
+        """Insert many children at ``index``; a DocumentFragment is
+        adopted (its children stolen) — reference ``node.py:342-374``."""
+        if isinstance(nodes, Node) and nodes.name in (
+            "#document",
+            "#document-fragment",
+        ):
+            nodes = list(nodes.child or [])
+        for off, n in enumerate(list(nodes)):
+            self.insert_before(index + off, n)
+        return self
+
+    def extend_children(self, nodes) -> "Node":
+        """Append many children (reference ``node.py:401-421``)."""
+        return self.extend_before(len(self.child or []), nodes)
+
+    def append_after(self, node: "Node | str") -> "Node":
+        """Insert ``node`` as the sibling after self (``node.py:423-428``)."""
+        return self.parent.insert_before(self.index + 1, node)
+
+    def prepend_before(self, node: "Node | str") -> "Node":
+        """Insert ``node`` as the sibling before self (``node.py:437-439``)."""
+        return self.parent.insert_before(self.index, node)
+
+    def __delitem__(self, key) -> None:
+        """Slice/index child deletion (reference ``node.py:503-525``)."""
+        assert self.child is not None
+        victims = self.child[key] if isinstance(key, slice) else [self.child[key]]
+        for v in victims:
+            v.parent = None
+        del self.child[key]
+        self._reindex()
+
+    def __getitem__(self, key):
+        assert self.child is not None
+        return self.child[key]
+
+    def __len__(self) -> int:
+        return len(self.child) if self.child else 0
+
+    # -- structural predicates (reference Q6) ----------------------------
+    def contains(self, other: "Node") -> bool:
+        """Ancestry test (reference ``elements.py:293-302``, done by
+        walking parents instead of maintained ``level`` counters)."""
+        p = other
+        while p is not None:
+            if p is self:
+                return True
+            p = p.parent
+        return False
+
+    @property
+    def element_index(self) -> int:
+        """Index among Element siblings (reference ``node.py:133-141``)."""
+        if self.parent is None or self.parent.child is None:
+            return 0
+        n = 0
+        for sib in self.parent.child[: self.index]:
+            if isinstance(sib, Element):
+                n += 1
+        return n
+
+    @property
+    def next_element(self):
+        """Next sibling that is an Element (``node.py:184-192``)."""
+        sib = self.next
+        while sib is not None and not isinstance(sib, Element):
+            sib = sib.next
+        return sib
+
+    @property
+    def previous_element(self):
+        """Previous sibling that is an Element (``node.py:156-164``)."""
+        sib = self.prev
+        while sib is not None and not isinstance(sib, Element):
+            sib = sib.prev
+        return sib
+
     def normalize(self) -> "Node":
         """Drop empty Text nodes, join adjacent Text siblings — the
         reference's ``Node.normalize`` (``node.py:445-469``). Span
@@ -281,10 +384,17 @@ class Element(Node):
     def __contains__(self, key: str) -> bool:
         return key in self.attrs
 
-    def __getitem__(self, key: str) -> str:
-        return self.attrs[key]
+    def __getitem__(self, key):
+        """String key → attribute (reference ``elements.py:231-271``);
+        int/slice → child access (reference Node indexing)."""
+        if isinstance(key, str):
+            return self.attrs[key]
+        assert self.child is not None
+        return self.child[key]
 
-    def __setitem__(self, key: str, val: str) -> None:
+    def __setitem__(self, key, val) -> None:
+        if not isinstance(key, str):
+            raise TypeError("child assignment goes through insert_before")
         if key not in self.attrs:
             self.attr_order.append(key)
         self.attrs[key] = val

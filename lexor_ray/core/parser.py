@@ -139,7 +139,14 @@ class Parser:
         self.doc.uri = uri
         self.doc.span = (0, self.end)
         self.log = []
+        hooks = self.dialect.hooks
+        pre = hooks.get("parser_pre")
+        if pre is not None:  # reference pre_process (parser.py:174-175)
+            pre(self)
         self._parse()
+        post = hooks.get("parser_post")
+        if post is not None:  # reference post_process (parser.py:177-178)
+            post(self)
         return self.doc
 
     def _get_np(self, node: Node) -> list[NodeParser]:

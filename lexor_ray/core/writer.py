@@ -245,8 +245,15 @@ class Writer:
         self.pos = [1, 1]
         self.width = 70
         self.prev_str = "\n"
+        hooks = self.dialect.hooks if self.dialect is not None else {}
+        pre = hooks.get("writer_pre")
+        if pre is not None:  # reference pre_process (writer.py:395-396)
+            pre(self, root)
         self._write(root)
         self.flush_buffer()
+        post = hooks.get("writer_post")
+        if post is not None:  # reference post_process (writer.py:399-400)
+            post(self, root)
         return self._file.getvalue()
 
     def _get_direction(self, crt) -> str:

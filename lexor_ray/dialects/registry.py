@@ -52,6 +52,13 @@ class Dialect:
     #: ``elements.py:397-429``): any element whose class list
     #: intersects this set is dropped with its subtree.
     drop_classes: frozenset = frozenset()
+    #: lifecycle hooks — the reference's style-module hook surface
+    #: (§2.9): ``parser_pre(parser)`` / ``parser_post(parser)``
+    #: (``parser.py:174-178``), ``convert_init(converter, doc)`` /
+    #: ``convert_done(converter, doc)`` (``converter.py:339-340,
+    #: 215-216``), ``writer_pre(writer, node)`` / ``writer_post
+    #: (writer, node)`` (``writer.py:395-400``).
+    hooks: dict = field(default_factory=dict)
 
     def resolved_parser_mapping(self) -> dict:
         """Resolve string aliases (reference ``parser.py:139-144``)."""

@@ -79,10 +79,16 @@ class Extractor:
         )
         self._drop_pis = not d.convert_rule("?x").copy
         default = d.converters.get("__default__")
-        self._pure = all(
-            rule.start is None and rule.end is None and (rule.copy_children or not rule.copy)
-            for rule in d.converters.values()
-        ) and (default is None or default.copy)
+        self._pure = (
+            all(
+                rule.start is None
+                and rule.end is None
+                and (rule.copy_children or not rule.copy)
+                for rule in d.converters.values()
+            )
+            and (default is None or default.copy)
+            and not d.hooks  # lifecycle hooks force the full Converter path
+        )
 
     def _extract_fused(self, doc: Document) -> tuple[str, list[tuple[int, int]]]:
         parts: list[str] = []
