@@ -35,9 +35,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         multimodal,
         relational,
         similarity,
+        sketch,
         textstats,
         transcripts_ops,
     )
+
+    _approx_distinct = sketch.approx_distinct_users
 
     return {
         # flagship extraction (non-SQL: HTML parse)
@@ -57,6 +60,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_stats": relational.part_type_stats,
         "events_tumbling_window": relational.events_tumbling_window,
         "events_sessionize": relational.events_sessionize,
+        "events_asof_join": relational.events_asof_join,
+        "distinct_users_per_event_type": relational.distinct_users_per_event_type,
+        "approx_distinct_users": _approx_distinct,
         "top_customers_by_balance": relational.top_customers_by_balance,
         "lineitem_distinct_flags": relational.lineitem_distinct_flags,
         # dedup family
@@ -172,6 +178,21 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type, window_start
             ORDER BY event_type, window_start
+        """,
+        "events_asof_join": """
+            WITH clicks AS (
+                SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ), purch AS (
+                SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.event_id, c.user_id, p.value AS last_purchase_value
+            FROM clicks c ASOF LEFT JOIN purch p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+            ORDER BY c.event_id
+        """,
+        "distinct_users_per_event_type": """
+            SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "events_sessionize": """
             WITH lagged AS (

@@ -163,15 +163,13 @@ def minhash_lsh_candidates(sf_dir: str, num_perm: int = 64, bands: int = 16):
         ii, jj = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
 
-    cand = sigs.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
+    from .util import coarse_dedup, coarse_grouped
+
+    cand = coarse_grouped(
+        sigs, ["band_id", "band_hash"], pairs, min_group_size=2
     )
-    # dedup pairs found in multiple bands
-    return (
-        cand.groupby(["a", "b"])
-        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
-        .sort(["a", "b"])
-    )
+    # dedup pairs found in multiple bands (vectorized coarse dedup)
+    return coarse_dedup(cand, ["a", "b"]).sort(["a", "b"])
 
 
 def jaccard(a_text: str, b_text: str, k: int = 3) -> float:
@@ -301,14 +299,12 @@ def simhash_candidates(sf_dir: str, max_hamming: int = 3):
             {"a": ids[ii][keep], "b": ids[jj][keep], "hamming": ham[keep]}
         )
 
-    cand = exploded.groupby(["band_id", "band_key"]).map_groups(
-        pairs, batch_format="pandas"
+    from .util import coarse_dedup, coarse_grouped
+
+    cand = coarse_grouped(
+        exploded, ["band_id", "band_key"], pairs, min_group_size=2
     )
-    return (
-        cand.groupby(["a", "b"])
-        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
-        .sort(["a", "b"])
-    )
+    return coarse_dedup(cand, ["a", "b"]).sort(["a", "b"])
 
 
 # ---------------------------------------------------------------------------
@@ -372,9 +368,7 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95, n_planes: int = 12):
             }
         )
 
+    from .util import coarse_dedup
+
     cand = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
-    return (
-        cand.groupby(["a", "b"])
-        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
-        .sort(["a", "b"])
-    )
+    return coarse_dedup(cand, ["a", "b"]).sort(["a", "b"])

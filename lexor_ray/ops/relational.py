@@ -326,6 +326,71 @@ def events_sessionize(sf_dir: str, gap_s: int = 600):
     )
 
 
+def events_asof_join(sf_dir: str):
+    """As-of join (SURVEY custom-operator rule): for every click
+    event, the most recent prior-or-equal purchase value of the same
+    user. Ray Data has no asof join → per-key ``map_groups`` with
+    ``pd.merge_asof`` over the ts-sorted group (shuffle key user_id;
+    the documented partitioning assumption is that one user's events
+    fit one group)."""
+    ds = tbl(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g["event_type"] == "click"].sort_values("ts")
+        purch = g[g["event_type"] == "purchase"].sort_values("ts")
+        if len(clicks) == 0:
+            return pd.DataFrame(
+                {"event_id": [], "user_id": [], "last_purchase_value": []}
+            ).astype({"event_id": "int64", "user_id": "int64"})
+        merged = pd.merge_asof(
+            clicks[["event_id", "user_id", "ts"]],
+            purch[["ts", "value"]],
+            on="ts",
+            direction="backward",
+        )
+        return pd.DataFrame(
+            {
+                "event_id": merged["event_id"],
+                "user_id": merged["user_id"],
+                "last_purchase_value": merged["value"],
+            }
+        )
+
+    return (
+        ds.groupby("user_id").map_groups(asof, batch_format="pandas").sort("event_id")
+    )
+
+
+def distinct_users_per_event_type(sf_dir: str):
+    """Exact COUNT(DISTINCT): per-batch pair dedup (vectorized) →
+    global coarse dedup of (event_type, user_id) → tiny grouped count.
+    The shuffle moves one row per distinct pair, not per event."""
+    from .util import coarse_dedup
+
+    ds = tbl(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def local_dedup(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            batch.to_pandas().drop_duplicates(["event_type", "user_id"]),
+            preserve_index=False,
+        )
+
+    pairs = ds.map_batches(local_dedup, batch_format="pyarrow")
+    distinct = coarse_dedup(pairs, ["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type"]).aggregate([("user_id", "count")])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        distinct.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("user_id_count", alias_name="n_users"))
+        .sort("event_type")
+    )
+
+
 def top_customers_by_balance(sf_dir: str, k: int = 25):
     """Sort + limit (top-k) with a deterministic tiebreak."""
     ds = tbl(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])

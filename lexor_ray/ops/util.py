@@ -54,6 +54,68 @@ def cached(key, factory):
     return inst
 
 
+def coarse_grouped(
+    ds, fine_keys: list[str], fn, n_buckets: int = 256, min_group_size: int = 1
+):
+    """Apply a per-fine-group pandas function via COARSE shuffle
+    groups: shuffle on ``hash(fine_keys) % n_buckets`` (≈n_buckets
+    medium groups), then run a vectorized pandas ``groupby`` over the
+    fine keys inside each. Ray's ``groupby().map_groups`` launches
+    per-group Python work — with millions of tiny groups (LSH buckets,
+    candidate pairs) that overhead dominates; this keeps the shuffle
+    while amortizing the per-group cost. ``fn(fine_group_df) -> df``.
+
+    ``min_group_size > 1`` drops smaller fine groups *vectorized*
+    before fn runs — for pair expansion over LSH buckets the vast
+    majority of buckets are singletons that can't produce pairs, so
+    this removes almost every Python call.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        h = pd.util.hash_pandas_object(df[fine_keys], index=False)
+        return batch.append_column(
+            "__bucket", pa.array((h % n_buckets).astype("int32"))
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
+        if min_group_size > 1 and len(g):
+            sizes = g.groupby(fine_keys, sort=False)[fine_keys[0]].transform("size")
+            g = g[sizes >= min_group_size]
+        outs = [fn(sub) for _, sub in g.groupby(fine_keys, sort=False)]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return fn(g.iloc[0:0])
+        return pd.concat(outs, ignore_index=True)
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return bucketed.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def coarse_dedup(ds, keys: list[str], n_buckets: int = 64):
+    """Distributed drop-duplicates on ``keys``: coarse hash-bucket
+    shuffle + vectorized ``drop_duplicates`` per bucket (no per-group
+    Python calls at all)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        h = pd.util.hash_pandas_object(df[keys], index=False)
+        return batch.append_column(
+            "__bucket", pa.array((h % n_buckets).astype("int32"))
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop(columns="__bucket").drop_duplicates(keys)
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return bucketed.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
 def partial_group_agg(keys: list[str], aggs: list[tuple[str, str]]):
     """Return a map_batches fn computing a per-batch grouped partial
     aggregate with ``pyarrow.Table.group_by`` (vectorized). ``aggs``

@@ -73,8 +73,13 @@ def _make_text(rng: np.random.Generator) -> str:
         elif deco < 0.58:
             inner = f"{inner} <i>{_sentence(rng,1,3)} <em>deep</em></i>"
         tag = ["p", "div", "section", "blockquote"][int(rng.integers(0, 4))]
-        if rng.random() < 0.07:  # unclosed -> E100 / W100 coverage
+        shape = rng.random()
+        if shape < 0.05:  # unclosed at EOF -> E100
             parts.append(f"<{tag}>{inner}")
+        elif shape < 0.10:  # inner left open, outer closes -> W100
+            parts.append(f"<{tag}><span>{inner}</{tag}>")
+        elif shape < 0.13:  # stray close tag -> W101
+            parts.append(f"<{tag}>{inner}</{tag}></em>")
         else:
             parts.append(f"<{tag}>{inner}</{tag}>")
     if rng.random() < 0.15:
@@ -93,7 +98,7 @@ def _make_text(rng: np.random.Generator) -> str:
 
 
 #: bump when generation logic changes — invalidates cached dirs
-GEN_VERSION = "v2"
+GEN_VERSION = "v3"
 
 
 def generate_transcripts(n_turns: int, seed: int = SEED) -> pa.Table:
