@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup": dedup.minhash_dedup,
+        "dedup_clusters": dedup.dedup_clusters,
         "simhash_candidates": dedup.simhash_candidates,
         "embedding_neardup": dedup.embedding_neardup,
         # similarity search

@@ -143,16 +143,19 @@ def run_scaling(sf_dir: str) -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
+    n_lo, n_hi = (
+        int(x) for x in os.environ.get("GRAFT_SCALE_CPUS", "8,32").split(",")
+    )
+    lo, hi = run(n_lo), run(n_hi)
     thr_lo = lo["turns_per_sec"]
     thr_hi = hi["turns_per_sec"]
-    eff = (thr_hi / thr_lo) / (32 / 8)
+    eff = (thr_hi / thr_lo) / (n_hi / n_lo)
     return {
-        "metric": "scaling efficiency (num_cpus 8 -> 32, same input)",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "turns_per_sec_8": thr_lo,
-        "turns_per_sec_32": thr_hi,
+        "metric": f"scaling efficiency (num_cpus {n_lo} -> {n_hi}, same input)",
+        f"sec_{n_lo}": lo["value"],
+        f"sec_{n_hi}": hi["value"],
+        f"turns_per_sec_{n_lo}": thr_lo,
+        f"turns_per_sec_{n_hi}": thr_hi,
         "scaling_efficiency": round(eff, 3),
         "sf": lo["sf"],
     }

@@ -84,6 +84,7 @@ class Parser:
         self.end: int = 0
         self.caret: int = 0
         self.pos: list[int] = [1, 1]
+        self._newlines: list[int] | None = None
         self.doc: Document | None = None
         self.log: list[dict] = []
         self._in_progress: list[tuple[Node, NodeParser]] = []
@@ -93,38 +94,53 @@ class Parser:
             self._instances[cls] = cls(self)
         return self._instances[cls]
 
-    # -- position tracking (reference parser.py:256-284) -----------------
+    # -- position tracking ------------------------------------------------
+    # The reference maintains [line, col] eagerly on every caret move
+    # (``parser.py:256-284``). Diagnostics are rare, so here positions
+    # are plain char offsets in the hot path and line/col is derived
+    # lazily from a newline index built on first use — same observable
+    # [line, col] values in every log record, none of the per-token
+    # counting cost.
     def update(self, index: int) -> None:
-        if index == self.caret:
-            return
-        nlines = self.text.count("\n", self.caret, index)
-        self.pos[0] += nlines
-        if nlines > 0:
-            self.pos[1] = index - self.text.rfind("\n", self.caret, index)
-        else:
-            self.pos[1] += index - self.caret
         self.caret = index
 
-    def compute(self, index: int) -> list[int]:
-        nlines = self.text.count("\n", self.caret, index)
-        line = self.pos[0] + nlines
-        if nlines > 0:
-            col = index - self.text.rfind("\n", self.caret, index)
-        else:
-            col = self.pos[1] + index - self.caret
-        return [line, col]
+    def compute(self, index: int) -> int:
+        return index
 
-    def copy_pos(self) -> list[int]:
-        return list(self.pos)
+    def copy_pos(self) -> int:
+        return self.caret
+
+    def line_col(self, offset: int) -> tuple[int, int]:
+        """[line, col] for a char offset (reference ``compute``
+        semantics), via bisect over the lazily-built newline index."""
+        nl = self._newlines
+        if nl is None:
+            nl = []
+            i = self.text.find("\n")
+            while i != -1:
+                nl.append(i)
+                i = self.text.find("\n", i + 1)
+            self._newlines = nl
+        import bisect
+
+        line = bisect.bisect_right(nl, offset - 1)
+        col = offset - (nl[line - 1] + 1 if line > 0 else 0) + 1
+        return line + 1, col
 
     # -- log (reference parser.py:287-303, flattened to records) ---------
     def msg(self, module: str, code: str, pos, arg=()) -> None:
+        if isinstance(pos, int):
+            line, col = self.line_col(pos)
+        elif pos:
+            line, col = int(pos[0]), int(pos[1])
+        else:
+            line, col = 0, 0
         self.log.append(
             {
                 "module": module,
                 "code": code,
-                "line": int(pos[0]) if pos else 0,
-                "col": int(pos[1]) if pos else 0,
+                "line": line,
+                "col": col,
                 "arg": [str(a) for a in arg],
             }
         )
@@ -135,6 +151,7 @@ class Parser:
         self.end = len(text)
         self.caret = 0
         self.pos = [1, 1]
+        self._newlines = None
         self.doc = Document(self.dialect.lang)
         self.doc.uri = uri
         self.doc.span = (0, self.end)
@@ -208,13 +225,17 @@ class Parser:
             if autoclose is not None:
                 break
         if autoclose is not None:
+            if isinstance(autoclose, int):
+                close_line, close_col = self.line_col(autoclose)
+            else:
+                close_line, close_col = autoclose[0], autoclose[1]
             for i in range(len(prog) - 1, num, -1):
                 inner = prog[i][0]
                 self.msg(
                     "lexor_ray.core.parser",
                     "W100",
                     inner.pos,
-                    (inner.name, autoclose[0], autoclose[1]),
+                    (inner.name, close_line, close_col),
                 )
                 inner.pos = None
                 del prog[i]
@@ -228,14 +249,22 @@ class Parser:
         return None
 
     def _parse(self) -> None:
-        """Reference ``parser.py:385-410``."""
+        """Reference ``parser.py:385-410``. The close-poll is guarded
+        by the dialect's ``close_prefix`` (all HTML closes start with
+        ``"</"``) — identical behavior, skips the innermost-out poll
+        loop at every non-close position."""
         crt: Node = self.doc
         self._in_progress = []
+        close_prefix = self.dialect.close_prefix
+        text = self.text
         while self.caret < self.end:
-            tmp = self._close_node()
-            if tmp is not None:
-                crt = tmp
-                continue
+            if self._in_progress and (
+                close_prefix is None or text.startswith(close_prefix, self.caret)
+            ):
+                tmp = self._close_node()
+                if tmp is not None:
+                    crt = tmp
+                    continue
             match = False
             node = None
             processor = None

@@ -299,16 +299,20 @@ class EntityParser(NodeParser):
 # ---------------------------------------------------------------------------
 # Dialect assembly
 
+# ElementParser first: its regex requires a letter after '<' so it is
+# disjoint from the '<!'/'<?'/'</' forms, and open tags + entities are
+# by far the most frequent tokens — ordering is a measured hot-loop
+# win with identical results.
 _DEFAULT_PARSERS = (
     "<&",
     [
+        ElementParser,
+        EntityParser,
         CommentParser,
         CDataParser,
         DoctypeParser,
         PIParser,
-        ElementParser,
         StrayCloseParser,
-        EntityParser,
     ],
 )
 

@@ -221,6 +221,77 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8):
     return cand_ds.map_batches(verify, batch_format="pandas").sort(["a", "b"])
 
 
+def dedup_clusters(sf_dir: str, threshold: float = 0.8, max_rounds: int = 10):
+    """Near-duplicate clusters: connected components over the verified
+    MinHash pair graph via iterative min-label propagation.
+
+    Each round: broadcast the current (node → label) map (it covers
+    only nodes that appear in some near-dup pair — a small fraction of
+    the corpus by construction of LSH+verify), recompute per-edge
+    label minima in ``map_batches``, reduce with a per-node groupby
+    min, stop when labels are stable. ``max_rounds`` bounds the
+    longest chain; the guide's alternative (driver union-find) is
+    valid exactly because this node set is small — the broadcast
+    variant keeps the reduction distributed anyway.
+
+    Returns (doc_id, cluster_id) for every doc in a cluster, where
+    cluster_id is the minimum doc_id of its component.
+    """
+    import ray
+
+    pairs = minhash_dedup(sf_dir, threshold=threshold)
+    pdf = pairs.to_pandas() if hasattr(pairs, "to_pandas") else pairs.to_pandas()
+    if len(pdf) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "cluster_id": pa.array([], type=pa.int64()),
+            }
+        )
+    import ray.data
+
+    edges = ray.data.from_pandas(
+        pd.concat(
+            [
+                pdf[["a", "b"]].rename(columns={"a": "src", "b": "dst"}),
+                pdf[["a", "b"]].rename(columns={"b": "src", "a": "dst"}),
+            ],
+            ignore_index=True,
+        )
+    )
+    nodes = np.unique(np.concatenate([pdf["a"].to_numpy(), pdf["b"].to_numpy()]))
+    labels = {int(n): int(n) for n in nodes}
+    for _ in range(max_rounds):
+        lab_ref = ray.put(labels)
+
+        def relabel(batch: pd.DataFrame) -> pd.DataFrame:
+            lab = ray.get(lab_ref)
+            cand = np.minimum(
+                batch["src"].map(lab).to_numpy(), batch["dst"].map(lab).to_numpy()
+            )
+            return pd.DataFrame({"node": batch["dst"], "label": cand})
+
+        from ray.data.aggregate import Min
+
+        new = (
+            edges.map_batches(relabel, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .to_pandas()
+        )
+        new_labels = dict(labels)
+        for n, l in zip(new["node"], new["label"]):
+            if l < new_labels[int(n)]:
+                new_labels[int(n)] = int(l)
+        if new_labels == labels:
+            break
+        labels = new_labels
+    out = pd.DataFrame(
+        {"doc_id": list(labels.keys()), "cluster_id": list(labels.values())}
+    ).sort_values("doc_id")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 

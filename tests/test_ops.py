@@ -52,6 +52,19 @@ def test_simhash_exact_dups_have_zero_hamming(ray_session):
     assert (got["hamming"] == 0).all()
 
 
+def test_dedup_clusters_invariants(ray_session):
+    """Components: representative = min doc_id; pair endpoints share a
+    cluster."""
+    from lexor_ray.ops.dedup import dedup_clusters, minhash_dedup
+
+    pairs = df(minhash_dedup(SF))
+    clusters = dedup_clusters(SF).to_pandas()
+    assert (clusters["doc_id"] >= clusters["cluster_id"]).all()
+    m = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+    for a, b in zip(pairs["a"], pairs["b"]):
+        assert m[a] == m[b], (a, b)
+
+
 def test_brute_force_topk_is_exact(ray_session):
     """Distributed top-k equals a local numpy computation."""
     import pyarrow.parquet as pq
