@@ -98,15 +98,23 @@ def _make_text(rng: np.random.Generator) -> str:
 
 
 #: bump when generation logic changes — invalidates cached dirs
-GEN_VERSION = "v3"
+GEN_VERSION = "v4"
+
+#: turns per generation chunk: content is a pure function of
+#: (seed, chunk_index), so chunks can be generated in parallel (Ray
+#: tasks) or sequentially with identical results.
+CHUNK_TURNS = 250_000
 
 
-def generate_transcripts(n_turns: int, seed: int = SEED) -> pa.Table:
+def generate_transcripts(
+    n_turns: int, seed: int = SEED, conv_prefix: str = ""
+) -> pa.Table:
     """Build an n_turns-row transcripts table, deterministic in
     (n_turns, seed). Per FIXTURES.md F1: Zipf-distributed conversation
     sizes (hot conv_ids exercise the salted-key path), rows emitted in
-    globally SHUFFLED order (stable-turn-ordering is really
-    exercised), roles alternate user/assistant with tool turns."""
+    SHUFFLED order (stable-turn-ordering is really exercised), roles
+    alternate user/assistant with tool turns. ``conv_prefix``
+    namespaces conv_ids for parallel chunked generation."""
     rng = np.random.default_rng(seed)
     conv_ids: list[str] = []
     turn_idx: list[int] = []
@@ -120,7 +128,7 @@ def generate_transcripts(n_turns: int, seed: int = SEED) -> pa.Table:
         # Zipf tail: most convs are short, a few are very hot
         n = 2 + min(int(rng.zipf(1.6)), 498)
         n = min(n, n_turns - len(texts))
-        cid = f"conv-{conv:08d}"
+        cid = f"conv-{conv_prefix}{conv:08d}"
         t0 = base_ts + int(rng.integers(0, 10**9))
         for i in range(n):
             conv_ids.append(cid)
@@ -176,14 +184,45 @@ def transcripts_dir(sf: float, base: str = DEFAULT_BASE, seed: int = SEED) -> st
 
         shutil.rmtree(out)  # stale generator version — rebuild
     os.makedirs(out, exist_ok=True)
-    tbl = generate_transcripts(n, seed)
-    rows_per_file = 25_000
-    n_files = max(4, (n + rows_per_file - 1) // rows_per_file)
-    per = (tbl.num_rows + n_files - 1) // n_files
-    for i in range(n_files):
-        part = tbl.slice(i * per, per)
-        if part.num_rows:
-            pq.write_table(part, os.path.join(out, f"turns-{i:05d}.parquet"))
+    chunks = [
+        (ci, min(CHUNK_TURNS, n - ci * CHUNK_TURNS))
+        for ci in range((n + CHUNK_TURNS - 1) // CHUNK_TURNS)
+    ]
+
+    def write_chunk(ci: int, rows: int) -> None:
+        # content is a pure function of (seed, ci): identical output
+        # whether chunks run sequentially or as parallel Ray tasks
+        tbl = generate_transcripts(rows, seed + 100_003 * ci, conv_prefix=f"{ci:04d}-")
+        rows_per_file = 25_000
+        n_files = max(1 if len(chunks) > 1 else 4, (rows + rows_per_file - 1) // rows_per_file)
+        per = (tbl.num_rows + n_files - 1) // n_files
+        for i in range(n_files):
+            part = tbl.slice(i * per, per)
+            if part.num_rows:
+                pq.write_table(
+                    part, os.path.join(out, f"turns-{ci:04d}-{i:03d}.parquet")
+                )
+
+    use_ray = False
+    if len(chunks) > 1:
+        try:
+            import ray
+
+            use_ray = ray.is_initialized()
+        except ImportError:
+            pass
+    if use_ray:
+        import ray
+
+        @ray.remote
+        def _gen(ci: int, rows: int) -> int:
+            write_chunk(ci, rows)
+            return ci
+
+        ray.get([_gen.remote(ci, rows) for ci, rows in chunks])
+    else:
+        for ci, rows in chunks:
+            write_chunk(ci, rows)
     with open(marker, "w") as fh:
         fh.write(stamp)
     return out
