@@ -76,6 +76,10 @@ def main(argv=None) -> int:
     if not args.src:
         ap.error("provide a source file or --table")
     text = sys.stdin.read() if args.src == "-" else open(args.src).read()
+    # language inference from extension (reference DEFAULTS alias
+    # table, lexor/command/lang.py:24-37): all current aliases parse
+    # with the HTML dialect; unknown extensions are treated as markup
+    # strings, matching lexor/__init__.py:71-75's string-input branch.
     print(convert_one(text, args.to))
     return 0
 

@@ -82,6 +82,29 @@ def test_run_extraction_resumable(ray_session, small_dir, tmp_path):
     assert "span_checksum_xor" in rec
 
 
+def test_resume_after_crash_with_stale_tmp(ray_session, small_dir, tmp_path):
+    """A run killed mid-chunk leaves a .tmp dir and no manifest entry;
+    the rerun must clean it up and produce the complete output."""
+    out_dir = str(tmp_path / "out3")
+    s1 = run_extraction(small_dir, out_dir, files_per_chunk=1, concurrency=2)
+    # simulate crash: victim chunk loses manifest+data, leaves garbage tmp
+    parts = sorted(os.listdir(os.path.join(out_dir, "manifest")))
+    victim = parts[-1][: -len(".json")]
+    os.remove(os.path.join(out_dir, "manifest", parts[-1]))
+    shutil.rmtree(os.path.join(out_dir, "data", victim))
+    stale = os.path.join(out_dir, "data", "." + victim + ".tmp")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "garbage.parquet"), "w") as fh:
+        fh.write("not parquet")
+    s2 = run_extraction(small_dir, out_dir, files_per_chunk=1, concurrency=2)
+    assert s2["rows"] == s1["rows"]
+    assert not os.path.exists(stale)
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(os.path.join(out_dir, "data"), format="parquet").count_rows()
+    assert n == s1["rows"]
+
+
 def test_rerun_is_idempotent(ray_session, small_dir, tmp_path):
     out_dir = str(tmp_path / "out2")
     s1 = run_extraction(small_dir, out_dir, files_per_chunk=2, concurrency=2)
