@@ -339,6 +339,7 @@ HTML = register_dialect(
         lang="html",
         parser_mapping={"__default__": _DEFAULT_PARSERS},
         converters={"__default__": ConvertRule()},
+        close_prefix="</",
     )
 )
 
@@ -357,5 +358,6 @@ HTML_TEXT = register_dialect(
         parser_mapping={"__default__": _DEFAULT_PARSERS},
         converters=_TEXT_CONVERTERS,
         drop_classes=BOILERPLATE_CLASSES,
+        close_prefix="</",
     )
 )

@@ -211,6 +211,7 @@ HTML_MARKDOWN = register_dialect(
         parser_mapping={"__default__": _DEFAULT_PARSERS},
         converters=_MD_CONVERTERS,
         writers=_MD_WRITERS,
+        close_prefix="</",
     )
 )
 

@@ -48,12 +48,15 @@ class Dialect:
     parser_mapping: dict = field(default_factory=dict)
     converters: dict = field(default_factory=dict)
     writers: dict = field(default_factory=dict)
-    #: every close() sequence of this dialect starts with this string
-    #: (``"</"`` for HTML). Lets the engine skip the innermost-out
-    #: close-polling loop (``parser.py:357-383``) entirely unless the
-    #: caret sits on a possible close — behaviorally identical, large
-    #: constant-factor win. ``None`` disables the shortcut.
-    close_prefix: str | None = "</"
+    #: OPT-IN: if every close() sequence of this dialect starts with
+    #: this string (``"</"`` for HTML), the engine skips the
+    #: innermost-out close-polling loop (``parser.py:357-383``) unless
+    #: the caret sits on a possible close — behaviorally identical for
+    #: such dialects, a large constant-factor win. The default None
+    #: polls every iteration like the reference, which is the only
+    #: safe default for plugin dialects whose close() may fire on
+    #: arbitrary conditions (blank lines, dedents, ...).
+    close_prefix: str | None = None
     #: class-attribute boilerplate heuristic (reference Q2 surface,
     #: ``elements.py:397-429``): any element whose class list
     #: intersects this set is dropped with its subtree.

@@ -79,6 +79,8 @@ class Extractor:
         )
         self._drop_pis = not d.convert_rule("?x").copy
         default = d.converters.get("__default__")
+        from .dialects.html import _DEFAULT_PARSERS as _STOCK_HTML
+
         self._pure = (
             all(
                 rule.start is None
@@ -88,6 +90,10 @@ class Extractor:
             )
             and (default is None or default.copy)
             and not d.hooks  # lifecycle hooks force the full Converter path
+            # the flat scanner hardcodes the stock HTML token grammar;
+            # a dialect with a customized parser_mapping must take the
+            # real parse path
+            and d.parser_mapping == {"__default__": _STOCK_HTML}
         )
 
     def _extract_fused(self, doc: Document) -> tuple[str, list[tuple[int, int]]]:

@@ -105,7 +105,9 @@ def _scan_tag(text: str, c: int, end: int):
                     i -= 1
         else:
             i = j if j > i else i
-        if aname == "class" and class_attr is None:
+        if aname == "class":
+            # last duplicate wins — Element.__setitem__ overwrite
+            # semantics (core/dom.py)
             class_attr = aval
     return name, class_attr, i, self_closing, terminated
 

@@ -237,10 +237,15 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8, max_rounds: int = 10):
     Returns (doc_id, cluster_id) for every doc in a cluster, where
     cluster_id is the minimum doc_id of its component.
     """
+    pairs = minhash_dedup(sf_dir, threshold=threshold)
+    return cluster_pairs(pairs.to_pandas(), max_rounds=max_rounds)
+
+
+def cluster_pairs(pdf: pd.DataFrame, max_rounds: int = 10) -> pa.Table:
+    """Connected components over an (a, b) pair DataFrame — the
+    engine behind :func:`dedup_clusters`, separated for testability."""
     import ray
 
-    pairs = minhash_dedup(sf_dir, threshold=threshold)
-    pdf = pairs.to_pandas() if hasattr(pairs, "to_pandas") else pairs.to_pandas()
     if len(pdf) == 0:
         return pa.table(
             {
@@ -261,6 +266,7 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8, max_rounds: int = 10):
     )
     nodes = np.unique(np.concatenate([pdf["a"].to_numpy(), pdf["b"].to_numpy()]))
     labels = {int(n): int(n) for n in nodes}
+    converged = False
     for _ in range(max_rounds):
         lab_ref = ray.put(labels)
 
@@ -284,8 +290,29 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8, max_rounds: int = 10):
             if l < new_labels[int(n)]:
                 new_labels[int(n)] = int(l)
         if new_labels == labels:
+            converged = True
             break
         labels = new_labels
+    if not converged:
+        # a component with diameter > max_rounds did not finish — the
+        # node set is small by LSH construction, so finish exactly with
+        # driver-side union-find over the pair list (guide fallback)
+        parent = dict(labels)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pdf["a"], pdf["b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        labels = {n: find(n) for n in parent}
     out = pd.DataFrame(
         {"doc_id": list(labels.keys()), "cluster_id": list(labels.values())}
     ).sort_values("doc_id")

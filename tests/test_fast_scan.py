@@ -73,6 +73,8 @@ EDGE_CASES = [
     "<div><p>a<p>b</div>",
     "< p>not a tag</ p>",
     "<p class=ad>dropcls</p>z",
+    '<p class="keep" class="ad">x</p>tail',  # duplicate attr: last wins
+    '<p class="ad" class="keep">x</p>tail',
     "text<pre>kept  raw</pre>more",
 ]
 

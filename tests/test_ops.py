@@ -65,6 +65,17 @@ def test_dedup_clusters_invariants(ray_session):
         assert m[a] == m[b], (a, b)
 
 
+def test_cluster_pairs_long_chain_union_find_fallback(ray_session):
+    """A chain whose diameter exceeds max_rounds must still converge
+    exactly via the union-find fallback."""
+    from lexor_ray.ops.dedup import cluster_pairs
+
+    chain = pd.DataFrame({"a": list(range(0, 14)), "b": list(range(1, 15))})
+    out = cluster_pairs(chain, max_rounds=3).to_pandas()
+    assert set(out["cluster_id"]) == {0}
+    assert len(out) == 15
+
+
 def test_brute_force_topk_is_exact(ray_session):
     """Distributed top-k equals a local numpy computation."""
     import pyarrow.parquet as pq
