@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_turns": transcripts_ops.extract_turns,
         "extract_markdown": transcripts_ops.extract_markdown,
         "extraction_log_summary": transcripts_ops.extraction_log_summary,
+        "validate_extraction": transcripts_ops.validate_extraction,
         "conversation_stats_salted": transcripts_ops.conversation_stats_salted,
         # transcripts relational (SQL-checked)
         "turns_per_conversation": transcripts_ops.turns_per_conversation,
@@ -61,6 +62,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_window": relational.events_tumbling_window,
         "events_sessionize": relational.events_sessionize,
         "events_asof_join": relational.events_asof_join,
+        "events_sliding_window": relational.events_sliding_window,
+        "top_events_per_user": relational.top_events_per_user,
+        "customers_without_orders": relational.customers_without_orders,
         "distinct_users_per_event_type": relational.distinct_users_per_event_type,
         "approx_distinct_users": _approx_distinct,
         "top_customers_by_balance": relational.top_customers_by_balance,
@@ -190,6 +194,41 @@ def oracle_sql() -> dict[str, str]:
             FROM clicks c ASOF LEFT JOIN purch p
               ON c.user_id = p.user_id AND c.ts >= p.ts
             ORDER BY c.event_id
+        """,
+        "events_sliding_window": """
+            WITH w AS (
+                SELECT event_type, value,
+                       CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
+                           - s.i * 1800 AS window_start,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS es
+                FROM events, (SELECT unnest([0, 1]) AS i) s
+            )
+            SELECT event_type, window_start,
+                   round(sum(value), 3) AS value_sum,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM w
+            WHERE es >= window_start AND es < window_start + 3600
+            GROUP BY event_type, window_start
+            ORDER BY event_type, window_start
+        """,
+        "top_events_per_user": """
+            WITH ranked AS (
+                SELECT user_id, event_id, ts,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id) AS rank
+                FROM events
+            )
+            SELECT user_id, event_id, ts, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 3 ORDER BY user_id, rank
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2001-01-01'
+            )
+            ORDER BY c_custkey
         """,
         "distinct_users_per_event_type": """
             SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

@@ -300,6 +300,101 @@ def events_tumbling_window(sf_dir: str, window_s: int = 3600):
     ).sort(["event_type", "window_start"])
 
 
+def events_sliding_window(sf_dir: str, size_s: int = 3600, step_s: int = 1800):
+    """Sliding event-time window (size 1h, step 30min): each event is
+    exploded to the windows containing it inside ``map_batches``
+    (size/step replicas — vectorized numpy), then the usual partial →
+    small groupby. Window key = window start epoch seconds."""
+    ds = tbl(sf_dir, "events", columns=["event_type", "ts", "value"])
+    n_windows = size_s // step_s
+
+    def explode(batch: pa.Table) -> pa.Table:
+        epoch_s = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // 1_000_000
+        # last window whose [start, start+size) contains the event
+        last_start = (epoch_s // step_s) * step_s
+        starts = last_start[:, None] - np.arange(n_windows)[None, :] * step_s
+        valid = (starts[:, :] <= epoch_s[:, None]) & (
+            epoch_s[:, None] < starts + size_s
+        )
+        n = len(epoch_s)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        rep_et = np.repeat(et, n_windows)[valid.reshape(-1)]
+        rep_val = np.repeat(val, n_windows)[valid.reshape(-1)]
+        rep_ws = starts.reshape(-1)[valid.reshape(-1)]
+        t = pa.table(
+            {
+                "event_type": pa.array(rep_et, type=pa.string()),
+                "window_start": pa.array(rep_ws, type=pa.int64()),
+                "value": pa.array(rep_val, type=pa.float64()),
+            }
+        )
+        return t.group_by(["event_type", "window_start"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Sum("value_sum", alias_name="value_sum"),
+            Sum("value_count", alias_name="n_events"),
+        )
+    )
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("value_sum"),
+            "value_sum",
+            pc.round(b["value_sum"], ndigits=3),
+        ),
+        batch_format="pyarrow",
+    ).sort(["event_type", "window_start"])
+
+
+def top_events_per_user(sf_dir: str, k: int = 3):
+    """Per-group top-k (window-function shape): the k most recent
+    events per user — groupby(user_id) + per-group sort/head."""
+    ds = tbl(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], ascending=[False, True]).head(k)
+        g = g.sort_values(["ts", "event_id"], ascending=[False, True])
+        g["rank"] = range(1, len(g) + 1)
+        return g[["user_id", "event_id", "ts", "rank"]]
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(topk, batch_format="pandas")
+        .sort(["user_id", "rank"])
+    )
+
+
+def customers_without_orders(sf_dir: str, since: str = "2001-01-01"):
+    """Broadcast ANTI-join: the key set of recent orders ships once
+    via ``ray.put``; customers filter against it inside map_batches —
+    no shuffle (the semi/anti-join pattern). 'Recent' keeps the result
+    non-degenerate on the synthetic data (every customer has *some*
+    order over the full history)."""
+    import ray
+
+    odf = tbl(sf_dir, "orders", columns=["o_custkey", "o_orderdate"]).to_pandas()
+    custkeys = odf.loc[
+        odf["o_orderdate"] >= pd.Timestamp(since), "o_custkey"
+    ].unique()
+    keys_ref = ray.put(pa.array(sorted(custkeys.tolist()), type=pa.int64()))
+
+    def anti(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch["c_custkey"], value_set=ray.get(keys_ref)))
+        return batch.filter(mask)
+
+    ds = tbl(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return ds.map_batches(anti, batch_format="pyarrow").sort("c_custkey")
+
+
 def events_sessionize(sf_dir: str, gap_s: int = 600):
     """Sessionization: per-user ordered gap analysis —
     ``groupby(user_id).map_groups`` with a pandas body over the sorted

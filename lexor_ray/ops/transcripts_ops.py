@@ -125,6 +125,63 @@ def extract_markdown(sf_dir: str):
     return out.sort(["conv_id", "turn_idx"])
 
 
+def validate_extraction(sf_dir: str):
+    """Distributed QA of the north-rule span invariant: for every
+    turn, every non-entity span must reproduce its slice of
+    extracted_text, entity spans must decode to their contribution,
+    and span offsets must be sorted within the source. Returns one
+    row of counts; n_violations must be 0."""
+    import html as _html
+
+    src = transcripts_for(sf_dir)
+    ds = read_transcripts(src)
+    out = extract_ds(ds, batch_size=512, emit_log=False, emit_lineage=False)
+
+    def check(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        extracted = batch.column("extracted_text").to_pylist()
+        spans_col = batch.column("spans").to_pylist()
+        bad = 0
+        for text, ext, spans in zip(texts, extracted, spans_col):
+            pieces = []
+            prev_end = -1
+            ok = True
+            for s in spans:
+                a, b = s["start"], s["end"]
+                if not (0 <= a <= b <= len(text)) or a < prev_end:
+                    ok = False
+                    break
+                prev_end = a  # starts must be non-decreasing
+                piece = text[a:b]
+                if piece.startswith("&"):
+                    from ..fast_scan import _ENT
+
+                    if _ENT.fullmatch(piece):
+                        piece = _html.unescape(piece)
+                pieces.append(piece)
+            if not ok or "".join(pieces) != ext:
+                bad += 1
+        return pa.table(
+            {
+                "n_rows": pa.array([batch.num_rows], type=pa.int64()),
+                "n_violations": pa.array([bad], type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    checked = out.map_batches(check, batch_format="pyarrow")
+    total = checked.sum(["n_rows", "n_violations"])
+    return pa.table(
+        {
+            "n_rows": pa.array([int(total["sum(n_rows)"])], type=pa.int64()),
+            "n_violations": pa.array(
+                [int(total["sum(n_violations)"])], type=pa.int64()
+            ),
+        }
+    )
+
+
 def turns_per_conversation(sf_dir: str):
     """SQL-checkable relational shape over transcripts: per-conv turn
     count + total text length (partial agg per batch → small
