@@ -19,11 +19,11 @@ import json
 import sys
 
 
-def convert_one(text: str, to: str) -> str:
+def convert_one(text: str, to: str, lang: str = "html") -> str:
     if to == "text":
         from .extract import extract_one
 
-        res = extract_one(text)
+        res = extract_one(text, dialect=f"{lang}-text")
         return json.dumps(
             {
                 "extracted_text": res["extracted_text"],
@@ -49,6 +49,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="lexor_ray", description=__doc__)
     ap.add_argument("src", nargs="?", help="input file ('-' for stdin)")
     ap.add_argument("--to", default="text", help="target style: text|markdown|xml")
+    ap.add_argument("--lang", default="html", help="input language: html|latex")
     ap.add_argument("--table", help="transcripts parquet dir (distributed mode)")
     ap.add_argument("--out", help="output dir for --table mode")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -80,7 +81,7 @@ def main(argv=None) -> int:
     # table, lexor/command/lang.py:24-37): all current aliases parse
     # with the HTML dialect; unknown extensions are treated as markup
     # strings, matching lexor/__init__.py:71-75's string-input branch.
-    print(convert_one(text, args.to))
+    print(convert_one(text, args.to, args.lang))
     return 0
 
 

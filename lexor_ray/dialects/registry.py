@@ -104,6 +104,8 @@ def register_dialect(dialect: Dialect) -> Dialect:
 def get_dialect(name: str) -> Dialect:
     # import side-effect registration of the built-ins
     from . import html as _html  # noqa: F401
+    from . import latex as _latex  # noqa: F401
+    from . import markdown as _markdown  # noqa: F401
 
     if name not in _REGISTRY:
         raise KeyError(f"unknown dialect {name!r}; known: {sorted(_REGISTRY)}")

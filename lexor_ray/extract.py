@@ -66,6 +66,10 @@ class Extractor:
         d = get_dialect(dialect)
         self.parser = Parser(d)
         self.converter = Converter(d)
+        # candidate start chars of the dialect's token grammar (the
+        # __default__ next-check class) — rows containing none of them
+        # extract to themselves
+        self._cand = set(d.resolved_parser_mapping()["__default__"][0])
         # When every converter rule is a pure copy/drop (no start/end
         # hooks, no copy-without-children), conversion followed by the
         # text writer is equivalent to one walk of the parse tree that
@@ -131,8 +135,9 @@ class Extractor:
         return "".join(parts), spans
 
     def extract_one(self, text: str, uri: str | None = None) -> dict:
-        if "<" not in text and "&" not in text:
-            # fast path: no markup, no entities — identity extraction.
+        if not self._cand.intersection(text):
+            # fast path: none of the dialect's candidate start chars
+            # appear — extraction is the identity.
             return {
                 "extracted_text": text,
                 "spans": [(0, len(text))] if text else [],
