@@ -127,17 +127,19 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
 
 def run_scaling(sf_dir: str) -> dict:
-    """Same job, fresh processes, num_cpus=8 then 32. Uses a 1M-turn
-    input (GRAFT_BENCH_TURNS overridable) so the job is compute-bound
-    rather than dominated by session/actor-pool startup — the honest
-    proxy for the N vs 4N cluster criterion."""
+    """Same job, fresh processes, at the two parallelism levels in
+    GRAFT_SCALE_CPUS (default 8,32). Uses a 4M-turn input
+    (GRAFT_BENCH_TURNS overridable) so the job is compute-bound rather
+    than dominated by session startup — the honest proxy for the N vs
+    4N cluster criterion. See BENCH/BASELINE.md for why the 2,8 pair
+    is the better node-scaling proxy on a single box."""
 
     def run(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=sf_dir,
-            GRAFT_BENCH_TURNS=os.environ.get("GRAFT_BENCH_TURNS", "1000000"),
+            GRAFT_BENCH_TURNS=os.environ.get("GRAFT_BENCH_TURNS", "4000000"),
             GRAFT_BENCH_ONLY="extract_turns",
         )
         out = subprocess.run(

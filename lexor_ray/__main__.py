@@ -49,7 +49,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="lexor_ray", description=__doc__)
     ap.add_argument("src", nargs="?", help="input file ('-' for stdin)")
     ap.add_argument("--to", default="text", help="target style: text|markdown|xml")
-    ap.add_argument("--lang", default="html", help="input language: html|latex")
+    ap.add_argument("--lang", default="html", help="input language: html|latex|markdown")
     ap.add_argument("--table", help="transcripts parquet dir (distributed mode)")
     ap.add_argument("--out", help="output dir for --table mode")
     ap.add_argument("--num-cpus", type=int, default=None)
