@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_window": relational.events_tumbling_window,
         "events_sessionize": relational.events_sessionize,
         "events_asof_join": relational.events_asof_join,
+        "events_json_stats": relational.events_json_stats,
+        "conversation_documents": relational.conversation_documents,
         "events_sliding_window": relational.events_sliding_window,
         "top_events_per_user": relational.top_events_per_user,
         "customers_without_orders": relational.customers_without_orders,
@@ -194,6 +196,21 @@ def oracle_sql() -> dict[str, str]:
             FROM clicks c ASOF LEFT JOIN purch p
               ON c.user_id = p.user_id AND c.ts >= p.ts
             ORDER BY c.event_id
+        """,
+        "events_json_stats": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+                   CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+                   CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "conversation_documents": f"""
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   string_agg(text, chr(10) ORDER BY turn_idx) AS full_text
+            FROM read_parquet('{t}')
+            GROUP BY conv_id ORDER BY conv_id
         """,
         "events_sliding_window": """
             WITH w AS (

@@ -395,6 +395,71 @@ def customers_without_orders(sf_dir: str, since: str = "2001-01-01"):
     return ds.map_batches(anti, batch_format="pyarrow").sort("c_custkey")
 
 
+def events_json_stats(sf_dir: str):
+    """JSON scalar functions over the ``props`` column: extract the
+    ``k`` field per event (vectorized pandas json parse per batch),
+    aggregate min/max/sum per event_type — a capability the reference
+    lacks entirely (SURVEY §2.6: no json functions)."""
+    import json
+
+    ds = tbl(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["props"].map(lambda s: json.loads(s).get("k"))
+        t = pd.DataFrame({"event_type": batch["event_type"], "k": k.astype("int64")})
+        g = t.groupby("event_type", sort=False)["k"]
+        out = pd.DataFrame(
+            {
+                "k_sum": g.sum(),
+                "k_min": g.min(),
+                "k_max": g.max(),
+                "n": g.size(),
+            }
+        ).reset_index()
+        return out
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("k_sum", alias_name="k_sum"),
+            Min("k_min", alias_name="k_min"),
+            Max("k_max", alias_name="k_max"),
+            Sum("n", alias_name="n_events"),
+        )
+        .sort("event_type")
+    )
+
+
+def conversation_documents(sf_dir: str):
+    """Ordered string aggregation: assemble each conversation's raw
+    turns into one document in turn order — groupby(conv_id) +
+    in-group sort + join. The ordering-sensitive aggregate shape
+    (DuckDB oracle: string_agg(... ORDER BY turn_idx))."""
+    import ray.data
+
+    from ..transcripts import transcripts_for
+
+    src = transcripts_for(sf_dir)
+    ds = ray.data.read_parquet(src, columns=["conv_id", "turn_idx", "text"])
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx")
+        return pd.DataFrame(
+            {
+                "conv_id": [g["conv_id"].iloc[0]],
+                "n_turns": [len(g)],
+                "full_text": ["\n".join(g["text"])],
+            }
+        )
+
+    return (
+        ds.groupby("conv_id").map_groups(assemble, batch_format="pandas").sort("conv_id")
+    )
+
+
 def events_sessionize(sf_dir: str, gap_s: int = 600):
     """Sessionization: per-user ordered gap analysis —
     ``groupby(user_id).map_groups`` with a pandas body over the sorted
