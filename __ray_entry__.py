@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup": dedup.minhash_dedup,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dedup_clusters": dedup.dedup_clusters,
         "simhash_candidates": dedup.simhash_candidates,
         "embedding_neardup": dedup.embedding_neardup,
@@ -90,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": textstats.lang_distribution,
         # multimodal plumbing
         "media_features": multimodal.media_features,
+        "frame_sample": multimodal.frame_sample,
         "media_byte_totals": multimodal.media_byte_totals,
     }
 

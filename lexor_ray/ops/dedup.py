@@ -172,6 +172,39 @@ def minhash_lsh_candidates(sf_dir: str, num_perm: int = 64, bands: int = 16):
     return coarse_dedup(cand, ["a", "b"]).sort(["a", "b"])
 
 
+def ngram_jaccard_pairs(sf_dir: str):
+    """n-gram Jaccard similarity for every LSH candidate pair (no
+    threshold) — the verify kernel exposed directly as an operator."""
+    import ray
+
+    cand = minhash_lsh_candidates(sf_dir).to_pandas()
+    if len(cand) == 0:
+        return pa.table(
+            {
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+                "jaccard": pa.array([], type=pa.float64()),
+            }
+        )
+    docs = tbl(sf_dir, "documents", columns=["doc_id", "text"]).to_pandas()
+    texts_ref = ray.put(dict(zip(docs["doc_id"], docs["text"])))
+    import ray.data
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(texts_ref)
+        batch["jaccard"] = [
+            round(jaccard(t.get(a, ""), t.get(b, "")), 4)
+            for a, b in zip(batch["a"], batch["b"])
+        ]
+        return batch
+
+    return (
+        ray.data.from_pandas(cand)
+        .map_batches(score, batch_format="pandas")
+        .sort(["a", "b"])
+    )
+
+
 def jaccard(a_text: str, b_text: str, k: int = 3) -> float:
     sa, sb = set(_shingles(a_text, k).tolist()), set(_shingles(b_text, k).tolist())
     if not sa and not sb:

@@ -121,6 +121,39 @@ def media_features(sf_dir: str):
     return feats.sort("doc_id")
 
 
+def frame_sample(sf_dir: str, frame_bytes: int = 16, every_k: int = 4):
+    """Frame-sampling plumbing for video-ish payloads: treat the
+    binary payload as fixed-size frames, keep every k-th frame, emit
+    one row per sampled frame with a per-frame feature (mean byte).
+    The decode itself is the deterministic stub; the flat_map-style
+    row expansion, frame indexing and output layout are the real
+    contract a video pipeline needs."""
+    ds = synthesize_media(sf_dir)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        doc_ids, frame_idx, means = [], [], []
+        for did, payload in zip(
+            batch.column("doc_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            n_frames = len(payload) // frame_bytes
+            for fi in range(0, n_frames, every_k):
+                frame = payload[fi * frame_bytes : (fi + 1) * frame_bytes]
+                doc_ids.append(did)
+                frame_idx.append(fi)
+                means.append(float(np.frombuffer(frame, dtype=np.uint8).mean()))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "frame_idx": pa.array(frame_idx, type=pa.int32()),
+                "frame_mean": pa.array(np.round(means, 3), type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(sample, batch_format="pyarrow", batch_size=64).sort(
+        ["doc_id", "frame_idx"]
+    )
+
+
 def media_byte_totals(sf_dir: str):
     """Scalar roll-up over the media table (SQL-checkable against the
     deterministic synthesis): doc_id, n_bytes = width*height."""

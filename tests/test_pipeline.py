@@ -60,6 +60,23 @@ def test_ray_matches_oracle(ray_session, small_dir):
         ], key
 
 
+def test_order_within_conversations(ray_session, small_dir):
+    """Per-conversation ordering without a global sort: within each
+    conv the turns come back sorted by turn_idx."""
+    import ray.data
+
+    from lexor_ray.pipeline import order_within_conversations
+
+    ds = ray.data.read_parquet(small_dir, columns=["conv_id", "turn_idx"])
+    rows = order_within_conversations(ds).take_all()
+    seen = {}
+    for r in rows:
+        prev = seen.get(r["conv_id"], -1)
+        assert r["turn_idx"] > prev, (r["conv_id"], prev, r["turn_idx"])
+        seen[r["conv_id"]] = r["turn_idx"]
+    assert len(rows) == sum(v + 1 for v in seen.values())
+
+
 def test_run_extraction_resumable(ray_session, small_dir, tmp_path):
     out_dir = str(tmp_path / "out")
     s1 = run_extraction(small_dir, out_dir, files_per_chunk=1, concurrency=2)
