@@ -237,7 +237,8 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY ts DESC, event_id) AS rank
                 FROM events
             )
-            SELECT user_id, event_id, ts, CAST(rank AS BIGINT) AS rank
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 3 ORDER BY user_id, rank
         """,
         "customers_without_orders": """
@@ -271,8 +272,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM marked
             )
             SELECT user_id,
-                   min(ts) AS session_start,
-                   max(ts) AS session_end,
+                   epoch_us(min(ts)) AS session_start,
+                   epoch_us(max(ts)) AS session_end,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM sessions GROUP BY user_id, sid
             ORDER BY user_id, session_start

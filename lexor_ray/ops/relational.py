@@ -364,7 +364,8 @@ def top_events_per_user(sf_dir: str, k: int = 3):
         g = g.sort_values(["ts", "event_id"], ascending=[False, True]).head(k)
         g = g.sort_values(["ts", "event_id"], ascending=[False, True])
         g["rank"] = range(1, len(g) + 1)
-        return g[["user_id", "event_id", "ts", "rank"]]
+        g["ts_us"] = g["ts"].astype("datetime64[us]").astype("int64")
+        return g[["user_id", "event_id", "ts_us", "rank"]]
 
     return (
         ds.groupby("user_id")
@@ -477,6 +478,10 @@ def events_sessionize(sf_dir: str, gap_s: int = 600):
             session_end=("ts", "max"),
             n_events=("ts", "size"),
         )
+        # exact integer microseconds: immune to timestamp-unit
+        # normalization differences between engines
+        out["session_start"] = out["session_start"].astype("datetime64[us]").astype("int64")
+        out["session_end"] = out["session_end"].astype("datetime64[us]").astype("int64")
         return out.reset_index(drop=True)
 
     return (
