@@ -32,6 +32,8 @@ def convert_one(text: str, to: str, lang: str = "html") -> str:
             }
         )
     if to == "markdown":
+        if lang != "html":
+            raise SystemExit("--to markdown converts HTML input; use --lang html")
         from .dialects.markdown import to_markdown
 
         return to_markdown(text)
@@ -40,7 +42,10 @@ def convert_one(text: str, to: str, lang: str = "html") -> str:
         from .core.writer import Writer
         from .dialects.registry import get_dialect
 
-        doc = Parser(get_dialect("html")).parse(text)
+        parse_dialect = {"html": "html", "latex": "latex-text", "markdown": "markdown"}
+        if lang not in parse_dialect:
+            raise SystemExit(f"unknown --lang {lang!r} (html|latex|markdown)")
+        doc = Parser(get_dialect(parse_dialect[lang])).parse(text)
         return Writer().write(doc)
     raise SystemExit(f"unknown target style: {to!r} (text|markdown|xml)")
 

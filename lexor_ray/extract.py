@@ -68,8 +68,14 @@ class Extractor:
         self.converter = Converter(d)
         # candidate start chars of the dialect's token grammar (the
         # __default__ next-check class) — rows containing none of them
-        # extract to themselves
-        self._cand = set(d.resolved_parser_mapping()["__default__"][0])
+        # extract to themselves. Compiled as a regex class (NOT set()
+        # of the raw source, which would mis-read escapes like '\n'
+        # and ranges like '0-9').
+        import re as _re
+
+        self._cand_re = _re.compile(
+            "[%s]" % d.resolved_parser_mapping()["__default__"][0], _re.DOTALL
+        )
         # When every converter rule is a pure copy/drop (no start/end
         # hooks, no copy-without-children), conversion followed by the
         # text writer is equivalent to one walk of the parse tree that
@@ -135,7 +141,7 @@ class Extractor:
         return "".join(parts), spans
 
     def extract_one(self, text: str, uri: str | None = None) -> dict:
-        if not self._cand.intersection(text):
+        if self._cand_re.search(text) is None:
             # fast path: none of the dialect's candidate start chars
             # appear — extraction is the identity.
             return {

@@ -312,18 +312,17 @@ def events_sliding_window(sf_dir: str, size_s: int = 3600, step_s: int = 1800):
         epoch_s = pc.cast(batch["ts"], pa.int64()).to_numpy(
             zero_copy_only=False
         ) // 1_000_000
-        # last window whose [start, start+size) contains the event
+        # every event belongs to exactly n_windows windows: the last
+        # window containing it and the n_windows-1 preceding steps
+        # (start <= es < start + size holds for all of them by
+        # construction) — plain repeat/tile, no membership filter
         last_start = (epoch_s // step_s) * step_s
         starts = last_start[:, None] - np.arange(n_windows)[None, :] * step_s
-        valid = (starts[:, :] <= epoch_s[:, None]) & (
-            epoch_s[:, None] < starts + size_s
-        )
-        n = len(epoch_s)
         et = batch["event_type"].to_numpy(zero_copy_only=False)
         val = batch["value"].to_numpy(zero_copy_only=False)
-        rep_et = np.repeat(et, n_windows)[valid.reshape(-1)]
-        rep_val = np.repeat(val, n_windows)[valid.reshape(-1)]
-        rep_ws = starts.reshape(-1)[valid.reshape(-1)]
+        rep_et = np.repeat(et, n_windows)
+        rep_val = np.repeat(val, n_windows)
+        rep_ws = starts.reshape(-1)
         t = pa.table(
             {
                 "event_type": pa.array(rep_et, type=pa.string()),
@@ -362,7 +361,6 @@ def top_events_per_user(sf_dir: str, k: int = 3):
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], ascending=[False, True]).head(k)
-        g = g.sort_values(["ts", "event_id"], ascending=[False, True])
         g["rank"] = range(1, len(g) + 1)
         g["ts_us"] = g["ts"].astype("datetime64[us]").astype("int64")
         return g[["user_id", "event_id", "ts_us", "rank"]]

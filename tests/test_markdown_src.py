@@ -46,6 +46,17 @@ def test_md_line_constructs_only_at_line_start():
     assert md_to_html("5. roll") == "<li>roll</li>"
 
 
+def test_md_fast_path_respects_candidate_class():
+    """Regression: the identity fast path must interpret the dialect's
+    candidate class as a REGEX class ('0-9' is a range, '\\n' an
+    escape), not a literal char set — '1. first' contains a candidate
+    ('1') and must be parsed, not passed through."""
+    ex = Extractor("markdown-text")
+    assert ex.extract_one("1. first")["extracted_text"] == "first"
+    assert ex.extract_one("5. roll")["extracted_text"] == "roll"
+    assert ex.extract_one("plain words")["extracted_text"] == "plain words"
+
+
 def test_md_unclosed_fence_logs_e100():
     ex = Extractor("markdown-text")
     r = ex.extract_one("```\nnever closed")
