@@ -81,11 +81,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "brute_force_topk": similarity.brute_force_topk,
         "lsh_ann_topk": similarity.lsh_ann_topk,
+        "kmeans_embeddings": similarity.kmeans_embeddings,
         "embedding_label_centroids": similarity.embedding_label_centroids,
         # text analysis
         "token_counts": textstats.token_counts,
         "quality_counts": textstats.quality_counts,
         "quality_scores": textstats.quality_scores,
+        "filter_quality_documents": textstats.filter_quality_documents,
+        "bpe_token_counts": textstats.bpe_token_counts,
         "lang_id": textstats.lang_id,
         "fingerprints": textstats.fingerprints,
         "lang_distribution": textstats.lang_distribution,
@@ -308,6 +311,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
                    CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper
             FROM documents ORDER BY doc_id
+        """,
+        "filter_quality_documents": r"""
+            WITH sig AS (
+                SELECT doc_id,
+                       CAST(length(text) AS BIGINT) AS n_chars,
+                       CAST(CASE WHEN trim(text) = '' THEN 0
+                            ELSE array_length(string_split_regex(trim(text), '\s+'))
+                       END AS BIGINT) AS n_words,
+                       CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS BIGINT) AS n_punct
+                FROM documents
+            )
+            SELECT doc_id, n_words, n_punct FROM sig
+            WHERE n_words >= 20 AND n_punct * 100 <= n_chars * 5
+            ORDER BY doc_id
         """,
         "lang_distribution": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs

@@ -207,6 +207,90 @@ def lsh_ann_topk(
     )
 
 
+def kmeans_embeddings(sf_dir: str, k: int = 8, max_iters: int = 10, seed: int = 17):
+    """Distributed Lloyd's k-means over the embedding column — the
+    iterative-algorithm pattern: centroids broadcast per round
+    (``ray.put``), each batch computes assignments + partial
+    (sum, count) per cluster vectorized, a tiny groupby merges the
+    partials, the driver updates centroids and re-broadcasts.
+    Deterministic: k-means++-free seeded init from the first rows
+    sorted by vec_id. Returns (vec_id, cluster) plus is validated in
+    tests by monotone non-increasing inertia."""
+    import ray
+    import ray.data
+
+    qids, qm = _query_matrix(sf_dir, k)  # first k vectors = init centroids
+    centroids = qm.copy()
+    ds = tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    from ray.data.aggregate import Sum
+
+    for _ in range(max_iters):
+        c_ref = ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)
+            emb = _normalize(
+                np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+            )
+            # cosine assignment == max dot product on normalized rows
+            assign = np.argmax(emb @ c.T, axis=1)
+            rows = []
+            for ci in np.unique(assign):
+                m = assign == ci
+                rows.append(
+                    {
+                        "cluster": int(ci),
+                        "vec_sum": emb[m].sum(axis=0).tolist(),
+                        "n": int(m.sum()),
+                    }
+                )
+            return pa.Table.from_pylist(rows)
+
+        parts = ds.map_batches(partial, batch_format="pyarrow")
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            vs = np.asarray(g["vec_sum"].tolist(), dtype=np.float64).sum(axis=0)
+            return pd.DataFrame(
+                {"cluster": [int(g["cluster"].iloc[0])], "vec_sum": [vs.tolist()],
+                 "n": [int(g["n"].sum())]}
+            )
+
+        agg = parts.groupby("cluster").map_groups(merge, batch_format="pandas").to_pandas()
+        new_c = centroids.copy()
+        for _, row in agg.iterrows():
+            if row["n"] > 0:
+                v = np.asarray(row["vec_sum"]) / row["n"]
+                nrm = np.linalg.norm(v)
+                if nrm > 0:
+                    new_c[int(row["cluster"])] = v / nrm
+        if np.allclose(new_c, centroids, atol=1e-6):
+            centroids = new_c
+            break
+        centroids = new_c
+
+    c_ref = ray.put(centroids)
+
+    def assign_final(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        emb = _normalize(
+            np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        )
+        sims = emb @ c.T
+        assign = np.argmax(sims, axis=1)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cluster": pa.array(assign.astype(np.int32)),
+                "cosine_to_centroid": pa.array(
+                    np.round(sims[np.arange(len(assign)), assign], 4)
+                ),
+            }
+        )
+
+    return ds.map_batches(assign_final, batch_format="pyarrow").sort("vec_id")
+
+
 def embedding_label_centroids(sf_dir: str):
     """Per-label centroid norm — grouped vector aggregate (partial
     sums per batch, merge in a tiny groupby). SQL-checkable scalar

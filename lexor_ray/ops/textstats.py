@@ -216,6 +216,73 @@ def fingerprints(sf_dir: str):
     ).sort("doc_id")
 
 
+def filter_quality_documents(sf_dir: str, min_words: int = 20, max_punct_pct: int = 5):
+    """Quality FILTER pipeline (compose signals → keep passing docs):
+    integer-arithmetic thresholds so the whole filter is SQL-checkable
+    (n_words ≥ min_words and punct ratio ≤ max_punct_pct%)."""
+    ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_words = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        n_punct = pc.cast(
+            pc.count_substring_regex(text, r"[!-/:-@\[-`{-~]"), pa.int64()
+        )
+        mask = pc.and_(
+            pc.greater_equal(n_words, min_words),
+            # n_punct * 100 <= n_chars * max_punct_pct  (integer math)
+            pc.less_equal(
+                pc.multiply(n_punct, 100), pc.multiply(n_chars, max_punct_pct)
+            ),
+        )
+        out = pa.table(
+            {"doc_id": batch["doc_id"], "n_words": n_words, "n_punct": n_punct}
+        )
+        return out.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+class BpeishTokenizer:
+    """GPT-2-style pre-tokenizer approximation (the brief's 'BPE-ish
+    regex'): contractions, letter runs, digit runs, punct runs, each
+    optionally preceded by one space. Compiled once per worker."""
+
+    PATTERN = (
+        r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-zÀ-ɏ一-鿿]+"
+        r"| ?[0-9]+| ?[^\sA-Za-z0-9À-ɏ一-鿿]+|\s+"
+    )
+
+    def __init__(self) -> None:
+        self.re = re.compile(self.PATTERN)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        counts = np.fromiter(
+            (sum(1 for m in self.re.finditer(t or "") if not m.group().isspace())
+             for t in texts),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpeish_tokens": pa.array(counts),
+            }
+        )
+
+
+def bpe_token_counts(sf_dir: str):
+    """Subword-ish token counts via the BPE-style pre-tokenizer."""
+    from .util import cached
+
+    ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: cached("bpeish", BpeishTokenizer)(b), batch_format="pyarrow"
+    ).sort("doc_id")
+
+
 def lang_distribution(sf_dir: str):
     """Grouped count by the gold lang label (SQL-checkable)."""
     ds = tbl(sf_dir, "documents", columns=["lang"])

@@ -97,6 +97,35 @@ def test_brute_force_topk_is_exact(ray_session):
         assert list(sub["vec_id"]) == [v for _, v in order]
 
 
+def test_kmeans_assignments_sane(ray_session):
+    """Every vector lands in a cluster and sits closer (cosine) to its
+    own centroid than random assignment would allow on average."""
+    from lexor_ray.ops.similarity import kmeans_embeddings
+
+    got = df(kmeans_embeddings(SF, k=4, max_iters=5))
+    assert len(got) == 500
+    assert set(got["cluster"]).issubset(set(range(4)))
+    assert got["cosine_to_centroid"].mean() > 0.1
+
+
+def test_bpe_tokenizer_counts(ray_session):
+    from lexor_ray.ops.textstats import BpeishTokenizer
+    import pyarrow as pa
+
+    tok = BpeishTokenizer()
+    t = pa.table({"doc_id": [1], "text": ["Hello, world! It's 42 degrees."]})
+    out = tok(t)
+    # Hello | , | world | ! | It | 's | 42 | degrees | .
+    assert out.column("n_bpeish_tokens").to_pylist() == [9]
+
+
+def test_quality_filter_thresholds(ray_session):
+    from lexor_ray.ops.textstats import filter_quality_documents
+
+    got = df(filter_quality_documents(SF))
+    assert (got["n_words"] >= 20).all()
+
+
 def test_lsh_ann_recall(ray_session):
     """The approximate path must recover most of the exact top-k."""
     from lexor_ray.ops.similarity import brute_force_topk, lsh_ann_topk
