@@ -40,7 +40,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         transcripts_ops,
     )
 
+    from lexor_ray.ops import streaming_state
+
     _approx_distinct = sketch.approx_distinct_users
+    _first_tool_flags = streaming_state.first_tool_turn_flags
 
     return {
         # flagship extraction (non-SQL: HTML parse)
@@ -49,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extraction_log_summary": transcripts_ops.extraction_log_summary,
         "validate_extraction": transcripts_ops.validate_extraction,
         "conversation_stats_salted": transcripts_ops.conversation_stats_salted,
+        "first_tool_turn_flags": _first_tool_flags,
         # transcripts relational (SQL-checked)
         "turns_per_conversation": transcripts_ops.turns_per_conversation,
         "role_distribution": transcripts_ops.role_distribution,
@@ -89,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": textstats.quality_scores,
         "filter_quality_documents": textstats.filter_quality_documents,
         "bpe_token_counts": textstats.bpe_token_counts,
+        "tfidf_top_terms": textstats.tfidf_top_terms,
         "lang_id": textstats.lang_id,
         "fingerprints": textstats.fingerprints,
         "lang_distribution": textstats.lang_distribution,
@@ -123,6 +128,16 @@ def oracle_sql() -> dict[str, str]:
         "role_distribution": f"""
             SELECT role, CAST(count(*) AS BIGINT) AS n_turns
             FROM read_parquet('{t}') GROUP BY role ORDER BY role
+        """,
+        "first_tool_turn_flags": f"""
+            SELECT a.conv_id, a.turn_idx,
+                   EXISTS (
+                       SELECT 1 FROM read_parquet('{t}') b
+                       WHERE b.conv_id = a.conv_id
+                         AND b.role = 'tool' AND b.ts < a.ts
+                   ) AS tool_seen_before
+            FROM read_parquet('{t}') a
+            ORDER BY a.conv_id, a.turn_idx
         """,
         "conversation_stats_salted": f"""
             SELECT conv_id,

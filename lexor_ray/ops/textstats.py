@@ -283,6 +283,79 @@ def bpe_token_counts(sf_dir: str):
     ).sort("doc_id")
 
 
+def tfidf_top_terms(sf_dir: str, top_k: int = 3, min_df: int = 2):
+    """Per-source top TF-IDF terms — the vocabulary-build pattern:
+
+    1. document frequencies: per-batch UNIQUE (term, doc) pairs →
+       term groupby count (the only wide op; keys are terms)
+    2. idf table broadcast back via ``ray.put``
+    3. per-doc term frequencies × idf vectorized per batch, top-k per
+       (source, doc) then merged per source
+    """
+    import ray
+
+    ds = tbl(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def doc_terms(batch: pa.Table) -> pa.Table:
+        rows_t, rows_c = [], []
+        for text in batch.column("text").to_pylist():
+            for term in set((text or "").lower().split()):
+                rows_t.append(term)
+                rows_c.append(1)
+        t = pa.table({"term": pa.array(rows_t), "n": pa.array(rows_c, type=pa.int64())})
+        return t.group_by(["term"]).aggregate([("n", "sum")])
+
+    from ray.data.aggregate import Sum
+
+    df_counts = (
+        ds.map_batches(doc_terms, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n_sum", alias_name="df"))
+        .to_pandas()
+    )
+    import os
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    df_counts = df_counts[df_counts["df"] >= min_df]
+    idf = dict(
+        zip(
+            df_counts["term"],
+            np.log(n_docs / (1.0 + df_counts["df"].to_numpy())),
+        )
+    )
+    idf_ref = ray.put(idf)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        idf_map = ray.get(idf_ref)
+        out = {"source": [], "doc_id": [], "term": [], "tfidf": []}
+        for _, row in batch.iterrows():
+            words = (row["text"] or "").lower().split()
+            if not words:
+                continue
+            tf: dict[str, int] = {}
+            for w in words:
+                tf[w] = tf.get(w, 0) + 1
+            scored = [
+                (t, (c / len(words)) * idf_map[t])
+                for t, c in tf.items()
+                if t in idf_map
+            ]
+            scored.sort(key=lambda x: (-x[1], x[0]))
+            for t, s in scored[:top_k]:
+                out["source"].append(row["source"])
+                out["doc_id"].append(row["doc_id"])
+                out["term"].append(t)
+                out["tfidf"].append(round(s, 6))
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(score, batch_format="pandas")
+        .sort(["source", "doc_id", "term"])
+    )
+
+
 def lang_distribution(sf_dir: str):
     """Grouped count by the gold lang label (SQL-checkable)."""
     ds = tbl(sf_dir, "documents", columns=["lang"])

@@ -126,6 +126,39 @@ def test_quality_filter_thresholds(ray_session):
     assert (got["n_words"] >= 20).all()
 
 
+def test_streaming_state_matches_batch_oracle(ray_session):
+    """Raw-actor incremental state == order-insensitive batch
+    recomputation of 'tool turn seen strictly before (by ts)'."""
+    import pyarrow.dataset as pads
+
+    from lexor_ray.ops.streaming_state import first_tool_turn_flags
+    from lexor_ray.transcripts import transcripts_for
+
+    got = first_tool_turn_flags(SF).to_pandas()
+    raw = (
+        pads.dataset(transcripts_for(SF), format="parquet")
+        .to_table(columns=["conv_id", "turn_idx", "role", "ts"])
+        .to_pandas()
+        .sort_values(["ts", "conv_id", "turn_idx"])
+    )
+    seen: set = set()
+    want = {}
+    for _, r in raw.iterrows():
+        want[(r["conv_id"], r["turn_idx"])] = r["conv_id"] in seen
+        if r["role"] == "tool":
+            seen.add(r["conv_id"])
+    for _, r in got.iterrows():
+        assert want[(r["conv_id"], r["turn_idx"])] == r["tool_seen_before"]
+
+
+def test_tfidf_top_terms(ray_session):
+    from lexor_ray.ops.textstats import tfidf_top_terms
+
+    got = df(tfidf_top_terms(SF, top_k=2))
+    assert (got.groupby("doc_id").size() <= 2).all()
+    assert (got["tfidf"] > 0).any()
+
+
 def test_lsh_ann_recall(ray_session):
     """The approximate path must recover most of the exact top-k."""
     from lexor_ray.ops.similarity import brute_force_topk, lsh_ann_topk
