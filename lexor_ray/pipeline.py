@@ -325,6 +325,14 @@ def conversation_stats(ds, salt_buckets: int = 8):
 # from checkpoint with per-partition lineage + metrics")
 
 
+def write_partitioned(ds, out_dir: str, partition_cols: list[str]):
+    """Hive-partitioned parquet sink (``out_dir/col=value/...``):
+    downstream readers prune whole partitions at the path level —
+    the other half of 'prune at the read'."""
+    ds.write_parquet(out_dir, partition_cols=partition_cols)
+    return out_dir
+
+
 def _chunks(seq, size):
     for i in range(0, len(seq), size):
         yield seq[i : i + size]

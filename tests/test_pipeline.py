@@ -122,6 +122,24 @@ def test_resume_after_crash_with_stale_tmp(ray_session, small_dir, tmp_path):
     assert n == s1["rows"]
 
 
+def test_write_partitioned_layout(ray_session, tmp_path):
+    """Hive layout: one directory per partition value, readable with
+    path-level pruning."""
+    import ray.data
+
+    from lexor_ray.pipeline import write_partitioned
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "bylang")
+    write_partitioned(ds, out, ["lang"])
+    langs = {d.split("=")[1] for d in os.listdir(out) if d.startswith("lang=")}
+    assert langs == {"en", "de", "fr", "es", "zh"}
+    import pyarrow.dataset as pads
+
+    part = pads.dataset(os.path.join(out, "lang=en"), format="parquet")
+    assert part.count_rows() > 0
+
+
 def test_rerun_is_idempotent(ray_session, small_dir, tmp_path):
     out_dir = str(tmp_path / "out2")
     s1 = run_extraction(small_dir, out_dir, files_per_chunk=2, concurrency=2)
