@@ -207,23 +207,21 @@ def lsh_ann_topk(
     )
 
 
-def kmeans_embeddings(sf_dir: str, k: int = 8, max_iters: int = 10, seed: int = 17):
+def kmeans_embeddings(sf_dir: str, k: int = 8, max_iters: int = 10):
     """Distributed Lloyd's k-means over the embedding column — the
     iterative-algorithm pattern: centroids broadcast per round
     (``ray.put``), each batch computes assignments + partial
     (sum, count) per cluster vectorized, a tiny groupby merges the
-    partials, the driver updates centroids and re-broadcasts.
-    Deterministic: k-means++-free seeded init from the first rows
-    sorted by vec_id. Returns (vec_id, cluster) plus is validated in
-    tests by monotone non-increasing inertia."""
+    partials, the driver updates centroids and re-broadcasts until
+    stable. Deterministic init: the first k vectors by vec_id.
+    Returns (vec_id, cluster, cosine_to_centroid); sanity-tested via
+    assignment validity + mean centroid cosine."""
     import ray
     import ray.data
 
-    qids, qm = _query_matrix(sf_dir, k)  # first k vectors = init centroids
+    _, qm = _query_matrix(sf_dir, k)  # first k vectors = init centroids
     centroids = qm.copy()
     ds = tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-
-    from ray.data.aggregate import Sum
 
     for _ in range(max_iters):
         c_ref = ray.put(centroids)

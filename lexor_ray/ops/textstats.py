@@ -39,25 +39,29 @@ def token_counts(sf_dir: str):
     return ds.map_batches(counts, batch_format="pyarrow").sort("doc_id")
 
 
+def _quality_signals(text: "pa.ChunkedArray") -> dict:
+    """Shared integer quality kernels — single source of truth for
+    the char classes used by quality_counts AND the quality filter
+    (and mirrored in their DuckDB oracles)."""
+    return {
+        "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+        "n_words": pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()),
+        "n_punct": pc.cast(
+            pc.count_substring_regex(text, r"[!-/:-@\[-`{-~]"), pa.int64()
+        ),
+        "n_digits": pc.cast(pc.count_substring_regex(text, r"[0-9]"), pa.int64()),
+        "n_upper": pc.cast(pc.count_substring_regex(text, r"[A-Z]"), pa.int64()),
+    }
+
+
 def quality_counts(sf_dir: str):
     """Integer quality signals (SQL-checkable, no float hashing):
     n_chars, n_words, n_punct, n_digits, n_upper."""
     ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
     def counts(batch: pa.Table) -> pa.Table:
-        text = batch["text"]
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
-                "n_words": pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()),
-                "n_punct": pc.cast(
-                    pc.count_substring_regex(text, r"[!-/:-@\[-`{-~]"), pa.int64()
-                ),
-                "n_digits": pc.cast(pc.count_substring_regex(text, r"[0-9]"), pa.int64()),
-                "n_upper": pc.cast(pc.count_substring_regex(text, r"[A-Z]"), pa.int64()),
-            }
-        )
+        sig = _quality_signals(batch["text"])
+        return pa.table({"doc_id": batch["doc_id"], **sig})
 
     return ds.map_batches(counts, batch_format="pyarrow").sort("doc_id")
 
@@ -223,12 +227,8 @@ def filter_quality_documents(sf_dir: str, min_words: int = 20, max_punct_pct: in
     ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
     def keep(batch: pa.Table) -> pa.Table:
-        text = batch["text"]
-        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
-        n_words = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
-        n_punct = pc.cast(
-            pc.count_substring_regex(text, r"[!-/:-@\[-`{-~]"), pa.int64()
-        )
+        sig = _quality_signals(batch["text"])
+        n_chars, n_words, n_punct = sig["n_chars"], sig["n_words"], sig["n_punct"]
         mask = pc.and_(
             pc.greater_equal(n_words, min_words),
             # n_punct * 100 <= n_chars * max_punct_pct  (integer math)
@@ -319,10 +319,12 @@ def tfidf_top_terms(sf_dir: str, top_k: int = 3, min_df: int = 2):
 
     n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
     df_counts = df_counts[df_counts["df"] >= min_df]
+    # smoothed idf (sklearn-style): strictly positive, so ubiquitous
+    # terms can never outrank genuinely distinctive ones
     idf = dict(
         zip(
             df_counts["term"],
-            np.log(n_docs / (1.0 + df_counts["df"].to_numpy())),
+            np.log((1.0 + n_docs) / (1.0 + df_counts["df"].to_numpy())) + 1.0,
         )
     )
     idf_ref = ray.put(idf)
@@ -330,8 +332,10 @@ def tfidf_top_terms(sf_dir: str, top_k: int = 3, min_df: int = 2):
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         idf_map = ray.get(idf_ref)
         out = {"source": [], "doc_id": [], "term": [], "tfidf": []}
-        for _, row in batch.iterrows():
-            words = (row["text"] or "").lower().split()
+        for text, doc_id, source in zip(
+            batch["text"], batch["doc_id"], batch["source"]
+        ):
+            words = (text or "").lower().split()
             if not words:
                 continue
             tf: dict[str, int] = {}
@@ -344,8 +348,8 @@ def tfidf_top_terms(sf_dir: str, top_k: int = 3, min_df: int = 2):
             ]
             scored.sort(key=lambda x: (-x[1], x[0]))
             for t, s in scored[:top_k]:
-                out["source"].append(row["source"])
-                out["doc_id"].append(row["doc_id"])
+                out["source"].append(source)
+                out["doc_id"].append(doc_id)
                 out["term"].append(t)
                 out["tfidf"].append(round(s, 6))
         return pd.DataFrame(out)
