@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brute_force_topk": similarity.brute_force_topk,
         "lsh_ann_topk": similarity.lsh_ann_topk,
         "kmeans_embeddings": similarity.kmeans_embeddings,
+        "ivf_ann_topk": similarity.ivf_ann_topk,
         "embedding_label_centroids": similarity.embedding_label_centroids,
         # text analysis
         "token_counts": textstats.token_counts,
@@ -100,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "media_features": multimodal.media_features,
         "frame_sample": multimodal.frame_sample,
+        "resize_media": multimodal.resize_media,
         "media_byte_totals": multimodal.media_byte_totals,
     }
 

@@ -154,6 +154,37 @@ def frame_sample(sf_dir: str, frame_bytes: int = 16, every_k: int = 4):
     )
 
 
+def resize_media(sf_dir: str, out_w: int = 4, out_h: int = 4):
+    """Resize plumbing: nearest-neighbor downsample of the fake w×h
+    payload to out_w×out_h (a real deployment swaps the numpy kernel
+    for a codec-backed resize; batch sizing and schema are the
+    contract). Emits the resized payload + a checksum."""
+    ds = synthesize_media(sf_dir)
+
+    def resize(batch: pa.Table) -> pa.Table:
+        payloads, sums = [], []
+        for p, w, h in zip(
+            batch.column("payload").to_pylist(),
+            batch.column("width").to_pylist(),
+            batch.column("height").to_pylist(),
+        ):
+            img = np.frombuffer(p, dtype=np.uint8).reshape(h, w)
+            yi = (np.arange(out_h) * h) // out_h
+            xi = (np.arange(out_w) * w) // out_w
+            small = img[np.ix_(yi, xi)]
+            payloads.append(small.tobytes())
+            sums.append(int(small.sum()))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "resized": pa.array(payloads, type=pa.binary()),
+                "checksum": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(resize, batch_format="pyarrow", batch_size=64).sort("doc_id")
+
+
 def media_byte_totals(sf_dir: str):
     """Scalar roll-up over the media table (SQL-checkable against the
     deterministic synthesis): doc_id, n_bytes = width*height."""

@@ -207,15 +207,12 @@ def lsh_ann_topk(
     )
 
 
-def kmeans_embeddings(sf_dir: str, k: int = 8, max_iters: int = 10):
-    """Distributed Lloyd's k-means over the embedding column — the
-    iterative-algorithm pattern: centroids broadcast per round
-    (``ray.put``), each batch computes assignments + partial
-    (sum, count) per cluster vectorized, a tiny groupby merges the
-    partials, the driver updates centroids and re-broadcasts until
-    stable. Deterministic init: the first k vectors by vec_id.
-    Returns (vec_id, cluster, cosine_to_centroid); sanity-tested via
-    assignment validity + mean centroid cosine."""
+def _kmeans_centroids(sf_dir: str, k: int, max_iters: int) -> np.ndarray:
+    """The distributed Lloyd's loop: returns the (k, dim) centroid
+    matrix. Centroids broadcast per round (``ray.put``), per-batch
+    vectorized assignment + partial (sum, count), tiny per-cluster
+    merge, driver-side update until stable. Deterministic init: the
+    first k vectors by vec_id."""
     import ray
     import ray.data
 
@@ -263,10 +260,20 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, max_iters: int = 10):
                 if nrm > 0:
                     new_c[int(row["cluster"])] = v / nrm
         if np.allclose(new_c, centroids, atol=1e-6):
-            centroids = new_c
-            break
+            return new_c
         centroids = new_c
+    return centroids
 
+
+def kmeans_embeddings(sf_dir: str, k: int = 8, max_iters: int = 10):
+    """Cluster assignments from the distributed Lloyd's loop
+    (:func:`_kmeans_centroids`). Returns (vec_id, cluster,
+    cosine_to_centroid); sanity-tested via assignment validity + mean
+    centroid cosine."""
+    import ray
+
+    centroids = _kmeans_centroids(sf_dir, k, max_iters)
+    ds = tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     c_ref = ray.put(centroids)
 
     def assign_final(batch: pa.Table) -> pa.Table:
@@ -287,6 +294,92 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, max_iters: int = 10):
         )
 
     return ds.map_batches(assign_final, batch_format="pyarrow").sort("vec_id")
+
+
+def ivf_ann_topk(
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 4,
+):
+    """IVF ANN: a k-means coarse quantizer (reusing the distributed
+    Lloyd's loop) partitions the corpus into cells; each query probes
+    only its ``n_probe`` nearest cells, so search touches
+    ~n_probe/n_cells of the corpus — the inverted-file scale path
+    beside the sign-LSH variant. Recall vs brute force is asserted in
+    tests."""
+    import ray
+
+    # train the coarse quantizer: the distributed Lloyd's loop's own
+    # centroids (k × dim floats — driver-sized by construction; the
+    # corpus itself never leaves the workers)
+    centroids = _kmeans_centroids(sf_dir, k=n_cells, max_iters=kmeans_iters)
+    qids, qm = _query_matrix(sf_dir, n_queries)
+    # each query probes its n_probe nearest cells
+    probe = np.argsort(-(qm @ centroids.T), axis=1)[:, :n_probe]
+    probe_map: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for c in probe[qi]:
+            probe_map.setdefault(int(c), []).append(qi)
+    ctx_ref = ray.put((qids, qm, probe_map, centroids))
+    ds = tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def search(batch: pa.Table) -> pa.Table:
+        qids_, qm_, pm, cents = ray.get(ctx_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        emb = _normalize(
+            np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        )
+        # cell membership recomputed per batch from the broadcast
+        # centroids — no corpus-sized lookup table anywhere
+        cell = np.argmax(emb @ cents.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for c in np.unique(cell):
+            queries = pm.get(int(c))
+            if not queries:
+                continue
+            m = cell == c
+            sub_ids, sub = ids[m], emb[m]
+            sims = qm_[queries] @ sub.T
+            kk = min(k + 1, len(sub_ids))
+            for row, qi in zip(sims, queries):
+                for j in np.argpartition(-row, kk - 1)[:kk]:
+                    if sub_ids[j] == qids_[qi]:
+                        continue
+                    out_q.append(qids_[qi])
+                    out_v.append(sub_ids[j])
+                    out_s.append(row[j])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(search, batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.drop_duplicates("vec_id")
+        top = heapq.nsmallest(
+            k, group.itertuples(index=False), key=lambda r: (-r.cosine, r.vec_id)
+        )
+        return pd.DataFrame(
+            {
+                "query_id": [r.query_id for r in top],
+                "vec_id": [r.vec_id for r in top],
+                "cosine": [round(r.cosine, 4) for r in top],
+                "rank": list(range(1, len(top) + 1)),
+            }
+        )
+
+    return (
+        cand.groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+        .sort(["query_id", "rank"])
+    )
 
 
 def embedding_label_centroids(sf_dir: str):

@@ -159,6 +159,24 @@ def test_tfidf_top_terms(ray_session):
     assert (got["tfidf"] > 0).any()
 
 
+def test_ivf_ann_recall(ray_session):
+    from lexor_ray.ops.similarity import brute_force_topk, ivf_ann_topk
+
+    exact = df(brute_force_topk(SF, n_queries=10, k=5))
+    approx = df(ivf_ann_topk(SF, n_queries=10, k=5))
+    e = set(zip(exact["query_id"], exact["vec_id"]))
+    a = set(zip(approx["query_id"], approx["vec_id"]))
+    assert len(e & a) / len(e) >= 0.6
+
+
+def test_resize_media_shape(ray_session):
+    from lexor_ray.ops.multimodal import resize_media
+
+    got = df(resize_media(SF))
+    assert (got["resized"].map(len) == 16).all()
+    assert (got["checksum"] >= 0).all()
+
+
 def test_lsh_ann_recall(ray_session):
     """The approximate path must recover most of the exact top-k."""
     from lexor_ray.ops.similarity import brute_force_topk, lsh_ann_topk
