@@ -1,14 +1,17 @@
-"""Similarity search over the ``embeddings`` table.
+"""Similarity search & clustering over the ``embeddings`` table.
 
-Two paths:
+Four paths:
 
 - brute-force cosine top-k: the query matrix is broadcast once
   (``ray.put``), each batch does one numpy matmul against it and emits
   its local top-k candidates; a tiny groupby merges per-query
   candidates. Exact — the oracle-checkable baseline.
-- IVF-style LSH-bucketed ANN: sign-LSH buckets with multi-probe
-  (query probes its own bucket + 1-bit flips), searching only bucket
-  members — the scale path (touches ~buckets/2^planes of the corpus).
+- sign-LSH ANN: hyperplane buckets with 1-bit multi-probe, searching
+  only bucket members (~probes/2^planes of the corpus).
+- IVF ANN: inverted-file cells from the k-means coarse quantizer,
+  each query probing its n_probe nearest cells.
+- distributed k-means (Lloyd's): the iterative broadcast-partials
+  pattern, also the quantizer trainer for IVF.
 """
 
 from __future__ import annotations
