@@ -107,9 +107,13 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_tumbling_window",
         lambda: relational.events_tumbling_window(sf_dir).to_pandas(),
     )
+    timed(
+        "events_sessionize", lambda: relational.events_sessionize(sf_dir).to_pandas()
+    )
     timed("exact_dedup", lambda: dedup.exact_dedup(sf_dir).to_pandas())
     timed("minhash_dedup", lambda: dedup.minhash_dedup(sf_dir).to_pandas())
     timed("brute_force_topk", lambda: similarity.brute_force_topk(sf_dir).to_pandas())
+    timed("lsh_ann_topk", lambda: similarity.lsh_ann_topk(sf_dir).to_pandas())
     timed("token_counts", lambda: textstats.token_counts(sf_dir).to_pandas())
 
     ray.shutdown()
