@@ -442,12 +442,16 @@ def simhash_candidates(sf_dir: str, max_hamming: int = 3):
 # embedding cosine near-dup
 
 
-def embedding_neardup(sf_dir: str, threshold: float = 0.95, n_planes: int = 12):
+def embedding_neardup(
+    sf_dir: str, threshold: float = 0.95, n_planes: int = 12, ds=None
+):
     """Near-duplicate vectors: sign-LSH (random hyperplanes) buckets →
     within-bucket exact cosine verify. The bucket groupby is the only
     shuffle; the hyperplane matrix is built per actor from a fixed
-    seed (no broadcast needed — determinism IS the share)."""
-    ds = tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    seed (no broadcast needed — determinism IS the share). ``ds``
+    overrides the input Dataset (tests plant known near-dups)."""
+    if ds is None:
+        ds = tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     class Bucket:
         def __init__(self) -> None:

@@ -76,6 +76,29 @@ def test_cluster_pairs_long_chain_union_find_fallback(ray_session):
     assert len(out) == 15
 
 
+def test_embedding_neardup_finds_planted_pairs(ray_session):
+    """The corpus has no near-dup embeddings (the op returns 0 rows on
+    it), so plant some: clones with tiny noise MUST be found, and
+    orthogonal-ish vectors must NOT pair up."""
+    import ray.data
+
+    from lexor_ray.ops.dedup import embedding_neardup
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 64)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(40)]
+    # plant 5 near-dups of vectors 0..4
+    for j in range(5):
+        noisy = base[j] + 0.01 * rng.standard_normal(64).astype(np.float32)
+        rows.append({"vec_id": 100 + j, "embedding": noisy.tolist()})
+    ds = ray.data.from_items(rows)
+    got = embedding_neardup("unused", threshold=0.95, ds=ds).to_pandas()
+    found = set(zip(got["a"], got["b"]))
+    for j in range(5):
+        assert (j, 100 + j) in found, (j, found)
+    assert (got["cosine"] >= 0.95).all()
+
+
 def test_brute_force_topk_is_exact(ray_session):
     """Distributed top-k equals a local numpy computation."""
     import pyarrow.parquet as pq
