@@ -106,6 +106,7 @@ def get_dialect(name: str) -> Dialect:
     from . import html as _html  # noqa: F401
     from . import latex as _latex  # noqa: F401
     from . import markdown as _markdown  # noqa: F401
+    from . import lexor_lang as _lexor_lang  # noqa: F401
     from . import markdown_src as _markdown_src  # noqa: F401
 
     if name not in _REGISTRY:
