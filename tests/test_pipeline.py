@@ -122,6 +122,53 @@ def test_resume_after_crash_with_stale_tmp(ray_session, small_dir, tmp_path):
     assert n == s1["rows"]
 
 
+def test_actor_pool_path_matches_task_path(ray_session, small_dir):
+    """extract_ds(use_actors=True) must produce identical rows to the
+    default stateless-task path (the explicit actor-pool alternative
+    stays live and correct)."""
+    ds1 = read_transcripts(small_dir)
+    task_rows = {
+        (r["conv_id"], r["turn_idx"]): r["extracted_text"]
+        for r in extract_ds(ds1, emit_log=False, emit_lineage=False).take_all()
+    }
+    ds2 = read_transcripts(small_dir)
+    actor_rows = {
+        (r["conv_id"], r["turn_idx"]): r["extracted_text"]
+        for r in extract_ds(
+            ds2, emit_log=False, emit_lineage=False, use_actors=True, concurrency=2
+        ).take_all()
+    }
+    assert task_rows == actor_rows
+
+
+def test_char_budget_splits_huge_batches(ray_session):
+    """A batch whose text exceeds max_batch_chars is recursively split
+    (skew guard for multi-MB turns) with identical total output."""
+    import pyarrow as pa
+
+    from lexor_ray.pipeline import ExtractBatch
+
+    texts = ["<p>" + ("x" * 50_000) + "</p>" for _ in range(8)]
+    batch = pa.table(
+        {
+            "conv_id": [f"c{i}" for i in range(8)],
+            "turn_idx": pa.array(range(8), type=pa.int32()),
+            "text": texts,
+        }
+    )
+    small_budget = ExtractBatch(max_batch_chars=60_000)
+    outs = list(small_budget(batch))
+    assert len(outs) > 1  # forced splitting
+    assert sum(t.num_rows for t in outs) == 8
+    big_budget = ExtractBatch(max_batch_chars=10_000_000)
+    whole = list(big_budget(batch))
+    assert len(whole) == 1
+    merged = pa.concat_tables(outs).sort_by("conv_id")
+    assert merged.column("extracted_text").to_pylist() == whole[0].sort_by(
+        "conv_id"
+    ).column("extracted_text").to_pylist()
+
+
 def test_write_partitioned_layout(ray_session, tmp_path):
     """Hive layout: one directory per partition value, readable with
     path-level pruning."""
