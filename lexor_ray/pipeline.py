@@ -263,10 +263,13 @@ def stable_order(ds):
 
 
 def order_within_conversations(ds):
-    """Cheaper ordering when only *per-conversation* turn order
-    matters (the comparison invariant): shuffle key ``conv_id`` only,
-    sort by ``turn_idx`` inside each group — no global sort
-    (SURVEY.md §2.5 'stable turn ordering')."""
+    """Per-conversation turn ordering via ``groupby(conv_id)`` +
+    in-group sort. MEASURED CAVEAT (BENCH/BASELINE.md): with many
+    small conversations the per-group call overhead makes this SLOWER
+    than the global ``stable_order`` sort (19.4s vs 17.2s at 4M
+    turns); prefer it only when conversations are large enough that
+    per-group work amortizes (or when downstream genuinely needs
+    group-at-a-time processing)."""
     import pyarrow as pa
 
     def sort_group(t: pa.Table) -> pa.Table:
