@@ -17,4 +17,75 @@ fixture (driver contract, ``__ray_entry__.py``).
 from .extract import Extractor, extract_one
 
 __version__ = "0.1.0"
-__all__ = ["Extractor", "extract_one", "__version__"]
+
+#: extension → parse dialect (the reference's DEFAULTS alias table,
+#: ``lexor/command/lang.py:24-37``)
+EXTENSION_DIALECTS = {
+    ".html": "html",
+    ".htm": "html",
+    ".xml": "html",
+    ".md": "markdown",
+    ".markdown": "markdown",
+    ".tex": "latex-text",
+    ".latex": "latex-text",
+    ".lex": "lexor-text",
+}
+
+
+def parse(text: str, lang: str = "html"):
+    """Parse markup → (Document, log) — the reference's ``lexor.parse``
+    (``lexor/__init__.py:104-110``)."""
+    from .core.parser import Parser
+    from .dialects.registry import get_dialect
+
+    p = Parser(get_dialect(lang))
+    doc = p.parse(text)
+    return doc, list(p.log)
+
+
+def read(path: str, lang: str | None = None):
+    """Parse a file, inferring the dialect from its extension — the
+    reference's ``lexor.read`` + extension inference
+    (``lexor/__init__.py:113-127, 76-80``)."""
+    import os
+
+    if lang is None:
+        ext = os.path.splitext(path)[1].lower()
+        lang = EXTENSION_DIALECTS.get(ext, "html")
+    with open(path) as fh:
+        return parse(fh.read(), lang)
+
+
+def convert(doc, dialect: str = "html-text"):
+    """Convert a parsed Document with a dialect's rules →
+    (Document, log) — the reference's ``lexor.convert``
+    (``lexor/__init__.py:130-141``)."""
+    from .core.converter import Converter
+    from .dialects.registry import get_dialect
+
+    c = Converter(get_dialect(dialect))
+    out = c.convert(doc)
+    return out, list(c.log)
+
+
+def write(node, dialect: str | None = None) -> str:
+    """Serialize a node/Document → string — the reference's
+    ``lexor.write`` (``lexor/__init__.py:144-168``); with no dialect
+    the stock XML-ish writer is used."""
+    from .core.writer import Writer
+    from .dialects.registry import get_dialect
+
+    d = get_dialect(dialect) if dialect else None
+    return Writer(d).write(node)
+
+
+__all__ = [
+    "Extractor",
+    "extract_one",
+    "parse",
+    "read",
+    "convert",
+    "write",
+    "EXTENSION_DIALECTS",
+    "__version__",
+]
