@@ -54,7 +54,11 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="lexor_ray", description=__doc__)
     ap.add_argument("src", nargs="?", help="input file ('-' for stdin)")
     ap.add_argument("--to", default="text", help="target style: text|markdown|xml")
-    ap.add_argument("--lang", default="html", help="input language: html|latex|markdown")
+    ap.add_argument(
+        "--lang",
+        default=None,
+        help="input language: html|latex|markdown (default: inferred from extension)",
+    )
     ap.add_argument("--table", help="transcripts parquet dir (distributed mode)")
     ap.add_argument("--out", help="output dir for --table mode")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -82,11 +86,20 @@ def main(argv=None) -> int:
     if not args.src:
         ap.error("provide a source file or --table")
     text = sys.stdin.read() if args.src == "-" else open(args.src).read()
-    # language inference from extension (reference DEFAULTS alias
-    # table, lexor/command/lang.py:24-37): all current aliases parse
-    # with the HTML dialect; unknown extensions are treated as markup
-    # strings, matching lexor/__init__.py:71-75's string-input branch.
-    print(convert_one(text, args.to, args.lang))
+    lang = args.lang
+    if lang is None:
+        # language inference from extension (reference DEFAULTS alias
+        # table, lexor/command/lang.py:24-37); stdin and unknown
+        # extensions default to html, matching the string-input branch
+        # at lexor/__init__.py:71-75.
+        import os
+
+        from . import EXTENSION_DIALECTS
+
+        ext = os.path.splitext(args.src)[1].lower() if args.src != "-" else ""
+        dialect = EXTENSION_DIALECTS.get(ext, "html")
+        lang = {"latex-text": "latex", "lexor-text": "lexor"}.get(dialect, dialect)
+    print(convert_one(text, args.to, lang))
     return 0
 
 
