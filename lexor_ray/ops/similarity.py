@@ -33,13 +33,23 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 def _query_matrix(sf_dir: str, n_queries: int):
     """The first n_queries vec_ids serve as the query set —
-    deterministic and oracle-expressible."""
-    import pyarrow.parquet as pq
+    deterministic and oracle-expressible.
+
+    Pruned read (round-1 verdict fix): the embeddings table is written
+    sorted by vec_id, so only the leading row group(s) are read — a
+    pushed-down limit, never the whole table to the driver."""
     import os
 
-    t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    tabs, got = [], 0
+    for rg in range(pf.metadata.num_row_groups):
+        tabs.append(pf.read_row_group(rg, columns=["vec_id", "embedding"]))
+        got += tabs[-1].num_rows
+        if got >= n_queries:
+            break
+    t = pa.concat_tables(tabs)
     df = t.to_pandas().sort_values("vec_id").head(n_queries)
     qids = df["vec_id"].to_numpy()
     qm = _normalize(np.asarray(df["embedding"].tolist(), dtype=np.float64))

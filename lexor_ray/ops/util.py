@@ -95,6 +95,31 @@ def coarse_grouped(
     return bucketed.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
 
 
+def coarse_apply(ds, keys: list[str], fn, n_buckets: int = 256):
+    """Apply a VECTORIZED pandas function per coarse hash bucket of
+    ``keys``: shuffle on ``hash(keys) % n_buckets``, call ``fn`` once
+    per bucket with all of that bucket's rows (every fine key's rows
+    colocated). Unlike :func:`coarse_grouped` there is no per-fine-
+    group Python call at all — ``fn`` is expected to handle the whole
+    bucket with pandas groupby/transform kernels. The right shape for
+    per-key ordered analytics over millions of tiny keys."""
+    import pandas as pd
+    import pyarrow as pa
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        h = pd.util.hash_pandas_object(df[keys], index=False)
+        return batch.append_column(
+            "__bucket", pa.array((h % n_buckets).astype("int32"))
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns="__bucket"))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return bucketed.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
 def coarse_dedup(ds, keys: list[str], n_buckets: int = 64):
     """Distributed drop-duplicates on ``keys``: coarse hash-bucket
     shuffle + vectorized ``drop_duplicates`` per bucket (no per-group

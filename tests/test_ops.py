@@ -263,3 +263,134 @@ def test_windowed_agg_total_preserved(ray_session):
     got = df(events_tumbling_window(SF))
     t = pq.read_table(f"{SF}/events.parquet").to_pandas()
     assert int(got["n_events"].sum()) == len(t)
+
+
+def test_minhash_dedup_distributed_join_cross_block(ray_session, tmp_path):
+    """Planted duplicates split across separate parquet FILES (hence
+    separate read blocks) must be found — proves the verify path is a
+    real distributed doc_id join, not a single-block coincidence."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lexor_ray.ops.dedup import minhash_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the rain in spain stays mainly on the plain for sure"
+    )
+    uniq = [
+        f"document number {i} talks about completely distinct topic "
+        f"{i * 7} with unrelated content entirely {i * 13}"
+        for i in range(20)
+    ]
+    docs_dir = tmp_path / "documents.parquet"
+    docs_dir.mkdir()
+    # dup pair (3, 57) lives across the two files
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(20), type=pa.int64()),
+                  "text": pa.array([base if i == 3 else uniq[i] for i in range(20)])}),
+        docs_dir / "part-0.parquet",
+    )
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(50, 70), type=pa.int64()),
+                  "text": pa.array(
+                      [base + " extra" if i == 7 else uniq[i] + " tail"
+                       for i in range(20)])}),
+        docs_dir / "part-1.parquet",
+    )
+    got = df(minhash_dedup(str(tmp_path), threshold=0.8))
+    assert (3, 57) in set(zip(got["a"], got["b"]))
+    assert (got["jaccard"] >= 0.8).all()
+
+
+def test_simhash_bucket_pairs_matches_bruteforce(ray_session):
+    """Recursive sub-band splitting (forced via a tiny direct_cap)
+    must produce EXACTLY the brute-force candidate set."""
+    from lexor_ray.ops.dedup import _popcount64, simhash_bucket_pairs
+
+    rng = np.random.default_rng(5)
+    n = 400
+    sig = rng.integers(0, 2**63, n).astype(np.uint64)
+    # plant near-dup groups: same high 16 bits + few flipped low bits
+    base = np.uint64(0xDEAD_BEEF_CAFE_0000)
+    for i in range(40):
+        sig[i] = base ^ np.uint64(rng.integers(0, 8))  # <=3 low bits differ
+    # all share band 3 (bits 48..63) for the planted block
+    band = 3
+    key = (sig >> np.uint64(16 * band)) & np.uint64(0xFFFF)
+    # evaluate one bucket: the planted one
+    mask = key == ((base >> np.uint64(48)) & np.uint64(0xFFFF))
+    ids = np.flatnonzero(mask).astype(np.int64)
+    bsig = sig[mask]
+    got = simhash_bucket_pairs(ids, bsig, band, max_hamming=3, direct_cap=8)
+    ii, jj = np.triu_indices(len(ids), k=1)
+    ham = _popcount64(bsig[ii] ^ bsig[jj])
+    keep = ham <= 3
+    want = set(zip(ids[ii][keep], ids[jj][keep]))
+    assert set(zip(got["a"], got["b"])) == want
+    # hamming values correct too
+    want_h = {(a, b): h for a, b, h in zip(ids[ii][keep], ids[jj][keep], ham[keep])}
+    for a, b, h in zip(got["a"], got["b"], got["hamming"]):
+        assert want_h[(a, b)] == h
+
+
+def test_simhash_skewed_megabucket_capped(ray_session):
+    """A 10^6-row bucket dominated by one signature must stay under
+    the pair caps (star expansion) and complete quickly — the 100-TB
+    guard the round-1 verdict asked for."""
+    import time
+
+    from lexor_ray.ops.dedup import simhash_bucket_pairs
+
+    rng = np.random.default_rng(11)
+    n = 1_000_000
+    sig = np.empty(n, dtype=np.uint64)
+    sig[: n - 1000] = np.uint64(0x1234_0000_ABCD_EF01)  # mega-clique
+    sig[n - 1000 :] = rng.integers(0, 2**63, 1000).astype(np.uint64)
+    # force all into one band-0 bucket by fixing low 16 bits
+    sig = (sig & ~np.uint64(0xFFFF)) | np.uint64(0x0042)
+    ids = np.arange(n, dtype=np.int64)
+    t0 = time.time()
+    got = simhash_bucket_pairs(ids, sig, band=0)
+    dt = time.time() - t0
+    # mega-clique emits a star (n-1 pairs), not O(n^2)
+    assert len(got) < 1_100_000
+    assert dt < 60
+    clique = got[got["hamming"] == 0]
+    assert len(clique) >= n - 1001  # star covers the whole clique
+
+
+def test_first_tool_flags_native_vs_actor_parity(ray_session):
+    """Dataset-native default == raw-actor streaming demo."""
+    from lexor_ray.ops.streaming_state import (
+        first_tool_turn_flags,
+        first_tool_turn_flags_actors,
+    )
+
+    native = df(first_tool_turn_flags(SF)).sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    actor = first_tool_turn_flags_actors(SF).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(native, actor)
+
+
+def test_embedding_neardup_banded_autosize(ray_session):
+    """Auto-sized planes + multi-band bucketing still find planted
+    near-identical vectors (the round-1 fixed-12-planes replacement)."""
+    import ray.data
+
+    from lexor_ray.ops.dedup import embedding_neardup
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((200, 64))
+    vecs = list(base)
+    # plant 5 near-dup pairs: tiny perturbations
+    for i in range(5):
+        vecs.append(base[i] + 0.01 * rng.standard_normal(64))
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": v.tolist()} for i, v in enumerate(vecs)]
+    )
+    got = df(embedding_neardup(None, threshold=0.95, ds=ds))
+    found = set(zip(got["a"], got["b"]))
+    for i in range(5):
+        assert (i, 200 + i) in found
