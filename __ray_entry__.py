@@ -18,6 +18,10 @@ from typing import Any
 #: transcripts parquet path for the sf the driver checks at — DuckDB's
 #: oracle reads the same deterministic files the Ray queries read.
 _SF001_TRANSCRIPTS = "/tmp/lexor_ray_data/sf0.01/transcripts/*.parquet"
+#: generation-time golden (conv_id, turn_idx, clean_text): the
+#: expected extraction output, composed independently of any parser
+#: when the synthetic transcripts are generated (transcripts.py).
+_SF001_GOLDEN = "/tmp/lexor_ray_data/sf0.01/golden/*.parquet"
 
 
 def entry() -> Any:
@@ -46,8 +50,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _first_tool_flags = streaming_state.first_tool_turn_flags
 
     return {
-        # flagship extraction (non-SQL: HTML parse)
+        # flagship extraction (extract_turns_text is driver-checked
+        # against the generation-time golden table — the north-rule
+        # per-turn text equality gate)
         "extract_turns": transcripts_ops.extract_turns,
+        "extract_turns_text": transcripts_ops.extract_turns_text,
         "extract_markdown": transcripts_ops.extract_markdown,
         "extraction_log_summary": transcripts_ops.extraction_log_summary,
         "validate_extraction": transcripts_ops.validate_extraction,
@@ -79,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": dedup.exact_dedup,
         "minhash_dedup": dedup.minhash_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "shingle_overlap_pairs": dedup.shingle_overlap_pairs,
         "dedup_clusters": dedup.dedup_clusters,
         "simhash_candidates": dedup.simhash_candidates,
         "embedding_neardup": dedup.embedding_neardup,
@@ -119,7 +127,16 @@ def oracle_sql() -> dict[str, str]:
     except Exception:
         pass
     t = _SF001_TRANSCRIPTS
+    g = _SF001_GOLDEN
     return {
+        # north-rule gate: per-turn extracted text == the golden text
+        # composed at generation time (no parser involved on the
+        # oracle side — see transcripts._make_text)
+        "extract_turns_text": f"""
+            SELECT conv_id, turn_idx, clean_text AS extracted_text
+            FROM read_parquet('{g}')
+            ORDER BY conv_id, turn_idx
+        """,
         "turns_per_conversation": f"""
             SELECT conv_id,
                    CAST(sum(length(text)) AS BIGINT) AS total_chars,
@@ -383,5 +400,165 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST((8 + doc_id % 8) * (8 + doc_id % 5) AS BIGINT) AS n_bytes
             FROM documents ORDER BY doc_id
+        """,
+        # GPT-2-style pre-tokenizer count: the exact regex the Ray op
+        # compiles, re-run by RE2; whitespace-only matches excluded.
+        "bpe_token_counts": r"""
+            SELECT doc_id,
+                   CAST(len(list_filter(
+                       regexp_extract_all(text,
+                           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-zÀ-ɏ一-鿿]+| ?[0-9]+| ?[^\sA-Za-z0-9À-ɏ一-鿿]+|\s+'),
+                       x -> NOT regexp_matches(x, '^\s+$'))) AS BIGINT)
+                       AS n_bpeish_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        # Mirrors QualityScorer term-for-term in the same evaluation
+        # order; floor-truncation on both sides makes the doubles
+        # bit-identical (pandas round is half-even, DuckDB half-away).
+        "quality_scores": r"""
+            WITH sig AS (
+                SELECT doc_id, text,
+                       regexp_extract_all(lower(text), '[a-z'']+') AS words,
+                       greatest(length(text), 1) AS n_chars
+                FROM documents
+            ), agg AS (
+                SELECT doc_id, n_chars,
+                       greatest(len(words), 1) AS n_words,
+                       len(list_filter(words, x -> list_contains(
+                           ['the','a','an','and','or','of','to','in','is',
+                            'are','was','were','be','been','it','this','that'],
+                           x))) AS n_stop,
+                       coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+                           AS sum_wlen,
+                       length(text) - length(regexp_replace(text,
+                           '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct
+                FROM sig
+            ), r AS (
+                SELECT doc_id,
+                       CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+                       CAST(sum_wlen AS DOUBLE) / n_words AS mean_word_len,
+                       CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+                       n_chars
+                FROM agg
+            )
+            SELECT doc_id,
+                   floor(stop_ratio * 10000) / 10000 AS stop_ratio,
+                   floor(mean_word_len * 10000) / 10000 AS mean_word_len,
+                   floor(punct_ratio * 10000) / 10000 AS punct_ratio,
+                   floor((0.35 * least(greatest(stop_ratio, 0), 0.6) / 0.6
+                        + 0.25 * (1 - least(abs(mean_word_len - 5), 5) / 5)
+                        + 0.2 * (1 - least(punct_ratio, 0.5) / 0.5)
+                        + 0.2 * (least(n_chars, 2000) / 2000)) * 10000) / 10000
+                       AS quality_score
+            FROM r ORDER BY doc_id
+        """,
+        # Full TF-IDF window SQL; idf uses ln (libm) exactly as the
+        # Ray op's math.log, so scores and the per-doc top-3 ranking
+        # are bit-comparable; floor-truncated to 6 digits both sides.
+        "tfidf_top_terms": r"""
+            WITH dt AS (
+                SELECT doc_id, source,
+                       CASE WHEN regexp_replace(lower(text), '^\s+|\s+$', '', 'g') = ''
+                            THEN []
+                            ELSE string_split_regex(
+                                regexp_replace(lower(text), '^\s+|\s+$', '', 'g'),
+                                '\s+')
+                       END AS words
+                FROM documents
+            ), ex AS (
+                SELECT doc_id, source, len(words) AS n_words, unnest(words) AS term
+                FROM dt
+            ), tf AS (
+                SELECT doc_id, source, term, any_value(n_words) AS n_words,
+                       count(*) AS c
+                FROM ex GROUP BY doc_id, source, term
+            ), dfq AS (
+                SELECT term, count(DISTINCT doc_id) AS dfc FROM ex GROUP BY term
+            ), nd AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT tf.source, tf.doc_id, tf.term,
+                       (CAST(tf.c AS DOUBLE) / tf.n_words)
+                           * (ln((1.0 + nd.n) / (1.0 + dfq.dfc)) + 1.0) AS s
+                FROM tf JOIN dfq USING (term) CROSS JOIN nd
+                WHERE dfq.dfc >= 2
+            ), ranked AS (
+                SELECT source, doc_id, term, s,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY s DESC, term) AS rk
+                FROM scored
+            )
+            SELECT source, doc_id, term, floor(s * 1000000) / 1000000 AS tfidf
+            FROM ranked WHERE rk <= 3 ORDER BY source, doc_id, term
+        """,
+        # Marker-count argmax with the Ray op's first-wins tie order
+        # (en, de, fr, es) encoded as the nested CASE.
+        "lang_id": r"""
+            WITH w AS (
+                SELECT doc_id, lang, text,
+                       regexp_extract_all(lower(text), '[\p{L}]+') AS words
+                FROM documents
+            ), c AS (
+                SELECT doc_id, lang, text, len(words) AS nw,
+                       len(list_filter(words, x -> list_contains(
+                           ['and','for','in','is','it','of','that','the','to','with'], x))) AS en,
+                       len(list_filter(words, x -> list_contains(
+                           ['das','der','die','ein','ist','mit','nicht','und','von','zu'], x))) AS de,
+                       len(list_filter(words, x -> list_contains(
+                           ['dans','des','est','et','la','le','les','pour','que','une'], x))) AS fr,
+                       len(list_filter(words, x -> list_contains(
+                           ['con','el','es','la','las','los','por','que','una','y'], x))) AS es
+                FROM w
+            )
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                        WHEN nw = 0 THEN 'en'
+                        WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                        WHEN de >= fr AND de >= es THEN 'de'
+                        WHEN fr >= es THEN 'fr'
+                        ELSE 'es' END AS pred_lang,
+                   lang
+            FROM c ORDER BY doc_id
+        """,
+        # Exact shingle-set arithmetic over the deterministic
+        # even/odd successor pair rule (integer sizes — no float
+        # rounding concerns at all).
+        "shingle_overlap_pairs": r"""
+            WITH sh AS (
+                SELECT doc_id,
+                       CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE (
+                              WITH ws AS (SELECT string_split_regex(
+                                  regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                                  '\s+') AS w)
+                              SELECT CASE WHEN len(w) < 3
+                                          THEN [array_to_string(w, ' ')]
+                                          ELSE list_transform(range(1, len(w) - 1),
+                                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                                     END FROM ws)
+                       END AS sh
+                FROM documents
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_size,
+                   CAST(len(list_distinct(a.sh || b.sh)) AS BIGINT) AS union_size
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0
+            ORDER BY a
+        """,
+        # Exact all-pairs cosine threshold. Sound because the Ray op's
+        # verify stage computes EXACT cosine within buckets (it can
+        # never emit a below-threshold pair), so whenever the exact
+        # pair set is empty — as it is for the synthetic embeddings at
+        # the checked SF — the two sets are structurally equal; recall
+        # on non-empty sets is separately tested with planted dups
+        # (tests/test_ops.py).
+        "embedding_neardup": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 4)
+                       AS cosine
+            FROM e a JOIN e b ON b.vec_id > a.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+            ORDER BY a, b
         """,
     }

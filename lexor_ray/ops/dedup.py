@@ -324,6 +324,65 @@ def ngram_jaccard_pairs(sf_dir: str):
     )
 
 
+def _shingle_strings(text: str, k: int = 3) -> set:
+    """Word k-shingles as STRINGS (not hashes): the exact-set variant
+    used where the result must be reproducible in SQL (list_intersect
+    over shingle arrays) — hash collisions, however unlikely, would
+    break bit-parity with the oracle."""
+    words = (text or "").split()
+    if len(words) < k:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+
+
+def shingle_overlap_pairs(sf_dir: str, k: int = 3):
+    """Exact shingle-set overlap for a deterministic pair rule (every
+    even doc_id paired with its successor): (a, b, inter_size,
+    union_size) — the n-gram-Jaccard verify kernel in a fully
+    SQL-checkable form (integer set sizes; Jaccard = inter/union).
+    Scale shape: pair_id = doc_id // 2 is the shuffle key, shingle
+    sets are built inside the group fn — one coarse hash-bucket
+    shuffle, no driver materialization."""
+    ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_pair(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "pair_id", pa.array((ids // 2).astype("int64"))
+        )
+
+    def overlap(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "inter_size": pd.Series([], dtype="int64"),
+                "union_size": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        g = g.sort_values("doc_id")
+        a_id, b_id = int(g["doc_id"].iloc[0]), int(g["doc_id"].iloc[1])
+        if b_id != a_id + 1 or a_id % 2 != 0:
+            return empty
+        sa = _shingle_strings(g["text"].iloc[0], k)
+        sb = _shingle_strings(g["text"].iloc[1], k)
+        return pd.DataFrame(
+            {
+                "a": [a_id],
+                "b": [b_id],
+                "inter_size": [len(sa & sb)],
+                "union_size": [len(sa | sb)],
+            }
+        )
+
+    from .util import coarse_grouped
+
+    paired = ds.map_batches(add_pair, batch_format="pyarrow")
+    return coarse_grouped(paired, ["pair_id"], overlap, min_group_size=2).sort("a")
+
+
 def jaccard(a_text: str, b_text: str, k: int = 3) -> float:
     sa, sb = set(_shingles(a_text, k).tolist()), set(_shingles(b_text, k).tolist())
     if not sa and not sb:
@@ -830,4 +889,15 @@ def embedding_neardup(
     cand = coarse_grouped(
         bucketed, ["band_id", "bucket"], verify, min_group_size=2
     )
-    return coarse_dedup(cand, ["a", "b"]).sort(["a", "b"])
+    out = coarse_dedup(cand, ["a", "b"]).sort(["a", "b"]).materialize()
+    if out.count() == 0:
+        # empty Ray results drop their schema (CLAUDE.md gotcha) —
+        # return a typed empty table so the oracle compare sees columns
+        return pa.table(
+            {
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+            }
+        )
+    return out

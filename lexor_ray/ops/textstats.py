@@ -66,9 +66,20 @@ def quality_counts(sf_dir: str):
     return ds.map_batches(counts, batch_format="pyarrow").sort("doc_id")
 
 
+def _floor4(s: "pd.Series") -> "pd.Series":
+    """Deterministic 4-digit truncation: ``floor(x·10⁴)/10⁴``. Used
+    instead of ``round`` because pandas rounds half-even while DuckDB
+    rounds half-away — truncation of the SAME double is bit-identical
+    on both sides, which makes the whole score SQL-oracle-checkable
+    (CLAUDE.md rounding rule)."""
+    return np.floor(s * 10000) / 10000
+
+
 class QualityScorer:
-    """Composite quality score (heuristic floats → rows-only check):
-    stopword ratio, mean word length, punctuation ratio, length."""
+    """Composite quality score — stopword ratio, mean word length,
+    punctuation ratio, length — emitted as floor-truncated 4-digit
+    floats so the full float pipeline is DuckDB-checkable (the oracle
+    mirrors the arithmetic term-for-term in the same order)."""
 
     STOPWORDS = frozenset(
         "the a an and or of to in is are was were be been it this that".split()
@@ -96,10 +107,10 @@ class QualityScorer:
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
-                "stop_ratio": stop_ratio.round(4),
-                "mean_word_len": mean_wlen.round(4),
-                "punct_ratio": punct_ratio.round(4),
-                "quality_score": score.round(4),
+                "stop_ratio": _floor4(stop_ratio),
+                "mean_word_len": _floor4(mean_wlen),
+                "punct_ratio": _floor4(punct_ratio),
+                "quality_score": _floor4(score),
             }
         )
 
@@ -320,13 +331,16 @@ def tfidf_top_terms(sf_dir: str, top_k: int = 3, min_df: int = 2):
     n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
     df_counts = df_counts[df_counts["df"] >= min_df]
     # smoothed idf (sklearn-style): strictly positive, so ubiquitous
-    # terms can never outrank genuinely distinctive ones
-    idf = dict(
-        zip(
-            df_counts["term"],
-            np.log((1.0 + n_docs) / (1.0 + df_counts["df"].to_numpy())) + 1.0,
-        )
-    )
+    # terms can never outrank genuinely distinctive ones. math.log
+    # (libm, same as DuckDB's ln) rather than numpy's SIMD log — the
+    # idf doubles are then bit-identical to the SQL oracle's, making
+    # the scores and the top-k ranking exactly comparable.
+    import math
+
+    idf = {
+        t: math.log((1.0 + n_docs) / (1.0 + d)) + 1.0
+        for t, d in zip(df_counts["term"], df_counts["df"])
+    }
     idf_ref = ray.put(idf)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
@@ -347,11 +361,15 @@ def tfidf_top_terms(sf_dir: str, top_k: int = 3, min_df: int = 2):
                 if t in idf_map
             ]
             scored.sort(key=lambda x: (-x[1], x[0]))
+            import math as _m
+
             for t, s in scored[:top_k]:
                 out["source"].append(source)
                 out["doc_id"].append(doc_id)
                 out["term"].append(t)
-                out["tfidf"].append(round(s, 6))
+                # floor truncation, not round: bit-identical to the
+                # DuckDB oracle's floor(s*1e6)/1e6 (see _floor4)
+                out["tfidf"].append(_m.floor(s * 1e6) / 1e6)
         return pd.DataFrame(out)
 
     return (

@@ -43,6 +43,30 @@ def extract_turns(sf_dir: str):
     return stable_order(out.map_batches(project, batch_format="pyarrow"))
 
 
+def extract_turns_text(sf_dir: str):
+    """The north-rule gate as a DRIVER-CHECKED query: per-turn
+    extracted text under stable (conv_id, turn_idx) ordering, compared
+    by the DuckDB oracle against the generation-time golden table
+    (``transcripts.generate_transcripts(with_golden=True)``) — an
+    independent composition of the expected main-content text written
+    BEFORE any parser runs. The pipeline itself reads only the
+    6-column input table, never the golden files."""
+    src = transcripts_for(sf_dir)
+    ds = read_transcripts(src)
+    out = extract_ds(ds, batch_size=512, emit_log=False, emit_lineage=False)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "extracted_text": batch["extracted_text"],
+            }
+        )
+
+    return stable_order(out.map_batches(project, batch_format="pyarrow"))
+
+
 def extraction_log_summary(sf_dir: str):
     """Log analytics (SURVEY.md §2.5 A1 as a dataset op): flatten the
     per-row log column and roll up counts per message code."""

@@ -46,32 +46,59 @@ def _sentence(rng: np.random.Generator, lo: int = 4, hi: int = 14) -> str:
     return " ".join(_WORDS[i] for i in idx)
 
 
-def _make_text(rng: np.random.Generator) -> str:
-    """One turn's text: a deterministic random HTML-ish document."""
+def _make_text(rng: np.random.Generator) -> tuple[str, str]:
+    """One turn's text: a deterministic random HTML-ish document,
+    PLUS the golden main-content text an extractor must recover.
+
+    The golden string is composed alongside the markup from the same
+    source sentences — an independent derivation of the expected
+    output, written at generation time (before any parser runs), so
+    the driver's DuckDB oracle can assert the north-rule per-turn
+    text equality without circular reference to the extractor.
+    Composition rules mirror the documented html-text semantics:
+    markup stripped, entities decoded, comments/doctype/script/style/
+    PI/img and class-based boilerplate contribute nothing, top-level
+    parts joined by the literal newline text nodes between them."""
     kind = rng.random()
     if kind < 0.30:  # plain text — fast path
-        return _sentence(rng, 6, 40)
+        s = _sentence(rng, 6, 40)
+        return s, s
     parts: list[str] = []
+    clean: list[str] = []
     if rng.random() < 0.05:
         parts.append("<!DOCTYPE html>")
+        clean.append("")
     if rng.random() < 0.10:
         parts.append(f"<!-- {_sentence(rng, 2, 6)} -->")
+        clean.append("")
     if rng.random() < 0.12:
         parts.append(f"<script>var x = {int(rng.integers(0, 999))};</script>")
+        clean.append("")
     if rng.random() < 0.08:
         parts.append(f"<style>.c{int(rng.integers(0,99))} {{color: red}}</style>")
+        clean.append("")
     n_paras = int(rng.integers(1, 5))
     for _ in range(n_paras):
         inner = _sentence(rng)
+        inner_clean = inner
         deco = rng.random()
         if deco < 0.25:
-            inner = f"{inner} <b>{_sentence(rng, 1, 4)}</b> {_sentence(rng, 1, 6)}"
+            s1, s2 = _sentence(rng, 1, 4), _sentence(rng, 1, 6)
+            inner = f"{inner} <b>{s1}</b> {s2}"
+            inner_clean = f"{inner_clean} {s1} {s2}"
         elif deco < 0.40:
-            inner = f'{inner} <a href="http://example.com/{int(rng.integers(0,999))}">{_sentence(rng, 1, 3)}</a>'
+            href = int(rng.integers(0, 999))
+            s1 = _sentence(rng, 1, 3)
+            inner = f'{inner} <a href="http://example.com/{href}">{s1}</a>'
+            inner_clean = f"{inner_clean} {s1}"
         elif deco < 0.50:
-            inner = f"{inner} &amp; {_sentence(rng, 1, 4)} &lt;ok&gt;"
+            s1 = _sentence(rng, 1, 4)
+            inner = f"{inner} &amp; {s1} &lt;ok&gt;"
+            inner_clean = f"{inner_clean} & {s1} <ok>"
         elif deco < 0.58:
-            inner = f"{inner} <i>{_sentence(rng,1,3)} <em>deep</em></i>"
+            s1 = _sentence(rng, 1, 3)
+            inner = f"{inner} <i>{s1} <em>deep</em></i>"
+            inner_clean = f"{inner_clean} {s1} deep"
         tag = ["p", "div", "section", "blockquote"][int(rng.integers(0, 4))]
         shape = rng.random()
         if shape < 0.05:  # unclosed at EOF -> E100
@@ -82,23 +109,30 @@ def _make_text(rng: np.random.Generator) -> str:
             parts.append(f"<{tag}>{inner}</{tag}></em>")
         else:
             parts.append(f"<{tag}>{inner}</{tag}>")
+        clean.append(inner_clean)
     if rng.random() < 0.15:
-        items = "".join(f"<li>{_sentence(rng, 1, 5)}</li>" for _ in range(int(rng.integers(2, 5))))
-        parts.append(f"<ul>{items}</ul>")
+        sents = [_sentence(rng, 1, 5) for _ in range(int(rng.integers(2, 5)))]
+        parts.append("<ul>" + "".join(f"<li>{s}</li>" for s in sents) + "</ul>")
+        clean.append("".join(sents))
     if rng.random() < 0.10:
         parts.append(f'<img src="x{int(rng.integers(0,99))}.png" alt="{_sentence(rng,1,3)}">')
+        clean.append("")
     if rng.random() < 0.04:
         parts.append(f"<?pi {_sentence(rng, 1, 3)} ?>")
+        clean.append("")
     if rng.random() < 0.06:  # class-based boilerplate (F2)
         cls = ["ad", "banner", "sidebar", "cookie-notice"][int(rng.integers(0, 4))]
         parts.append(f'<div class="{cls} wide">{_sentence(rng, 3, 8)}</div>')
+        clean.append("")
     if rng.random() < 0.001:  # rare huge tool dump (heavy-tail skew)
-        parts.append("<pre>" + " ".join([_sentence(rng, 8, 16)] * 2500) + "</pre>")
-    return "\n".join(parts)
+        dump = " ".join([_sentence(rng, 8, 16)] * 2500)
+        parts.append("<pre>" + dump + "</pre>")
+        clean.append(dump)
+    return "\n".join(parts), "\n".join(clean)
 
 
 #: bump when generation logic changes — invalidates cached dirs
-GEN_VERSION = "v4"
+GEN_VERSION = "v5"
 
 #: turns per generation chunk: content is a pure function of
 #: (seed, chunk_index), so chunks can be generated in parallel (Ray
@@ -107,19 +141,27 @@ CHUNK_TURNS = 250_000
 
 
 def generate_transcripts(
-    n_turns: int, seed: int = SEED, conv_prefix: str = ""
-) -> pa.Table:
+    n_turns: int, seed: int = SEED, conv_prefix: str = "", with_golden: bool = False
+):
     """Build an n_turns-row transcripts table, deterministic in
     (n_turns, seed). Per FIXTURES.md F1: Zipf-distributed conversation
     sizes (hot conv_ids exercise the salted-key path), rows emitted in
     SHUFFLED order (stable-turn-ordering is really exercised), roles
     alternate user/assistant with tool turns. ``conv_prefix``
-    namespaces conv_ids for parallel chunked generation."""
+    namespaces conv_ids for parallel chunked generation.
+
+    With ``with_golden=True`` also returns the generation-time golden
+    table (conv_id, turn_idx, clean_text) — the expected extraction
+    output composed independently of any parser (see ``_make_text``).
+    The golden table is written to a SIBLING directory, never mixed
+    into the input table, which keeps the input at exactly the
+    BASELINE.json ``input_hint`` schema."""
     rng = np.random.default_rng(seed)
     conv_ids: list[str] = []
     turn_idx: list[int] = []
     roles: list[str] = []
     texts: list[str] = []
+    cleans: list[str] = []
     tools: list[str] = []
     ts: list[int] = []
     base_ts = 1_700_000_000_000_000  # us epoch, fixed
@@ -135,7 +177,9 @@ def generate_transcripts(
             turn_idx.append(i)
             role = _ROLES[2] if rng.random() < 0.15 else _ROLES[i % 2]
             roles.append(role)
-            texts.append(_make_text(rng))
+            text, clean = _make_text(rng)
+            texts.append(text)
+            cleans.append(clean)
             tools.append(
                 _TOOLS[int(rng.integers(0, len(_TOOLS)))] if role == "tool" else ""
             )
@@ -155,7 +199,23 @@ def generate_transcripts(
     # globally shuffle row order (seeded) — input files must NOT
     # arrive pre-sorted by (conv_id, turn_idx)
     perm = rng.permutation(tbl.num_rows)
-    return tbl.take(pa.array(perm))
+    tbl = tbl.take(pa.array(perm))
+    if not with_golden:
+        return tbl
+    golden = pa.table(
+        {
+            "conv_id": pa.array(conv_ids, type=pa.string()),
+            "turn_idx": pa.array(turn_idx, type=pa.int32()),
+            "clean_text": pa.array(cleans, type=pa.string()),
+        }
+    )
+    return tbl, golden
+
+
+def golden_dir_for(transcripts_out: str) -> str:
+    """Sibling dir holding the generation-time golden (conv_id,
+    turn_idx, clean_text) table for a transcripts dir."""
+    return os.path.join(os.path.dirname(os.path.normpath(transcripts_out)), "golden")
 
 
 def sf_to_turns(sf: float) -> int:
@@ -183,7 +243,10 @@ def transcripts_dir(sf: float, base: str = DEFAULT_BASE, seed: int = SEED) -> st
         import shutil
 
         shutil.rmtree(out)  # stale generator version — rebuild
+        shutil.rmtree(golden_dir_for(out), ignore_errors=True)
     os.makedirs(out, exist_ok=True)
+    golden_dir = golden_dir_for(out)
+    os.makedirs(golden_dir, exist_ok=True)
     chunks = [
         (ci, min(CHUNK_TURNS, n - ci * CHUNK_TURNS))
         for ci in range((n + CHUNK_TURNS - 1) // CHUNK_TURNS)
@@ -192,7 +255,10 @@ def transcripts_dir(sf: float, base: str = DEFAULT_BASE, seed: int = SEED) -> st
     def write_chunk(ci: int, rows: int) -> None:
         # content is a pure function of (seed, ci): identical output
         # whether chunks run sequentially or as parallel Ray tasks
-        tbl = generate_transcripts(rows, seed + 100_003 * ci, conv_prefix=f"{ci:04d}-")
+        tbl, golden = generate_transcripts(
+            rows, seed + 100_003 * ci, conv_prefix=f"{ci:04d}-", with_golden=True
+        )
+        pq.write_table(golden, os.path.join(golden_dir, f"golden-{ci:04d}.parquet"))
         rows_per_file = 25_000
         n_files = max(1 if len(chunks) > 1 else 4, (rows + rows_per_file - 1) // rows_per_file)
         per = (tbl.num_rows + n_files - 1) // n_files
