@@ -116,6 +116,40 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("lsh_ann_topk", lambda: similarity.lsh_ann_topk(sf_dir).to_pandas())
     timed("token_counts", lambda: textstats.token_counts(sf_dir).to_pandas())
 
+    # round-comparable BIG headline: the sf0.1 input (100k turns) is
+    # startup-dominated (~1.5 s wall for ~0.15 s of extraction work),
+    # so round-over-round deltas on it measure Ray session warmup, not
+    # the pipeline. Re-run the same extraction on a GRAFT_BIG_TURNS
+    # input (default 2M) where compute dominates; skipped when the
+    # caller already overrides the input size (scaling runs) or
+    # restricts the query set.
+    big = {}
+    if only is None and not bench_turns:
+        big_turns = int(os.environ.get("GRAFT_BIG_TURNS", "2000000"))
+        tdir_big = transcripts_dir(big_turns / 1_000_000)
+        big_n = pads.dataset(tdir_big, format="parquet").count_rows()
+
+        def run_extract_big():
+            import shutil
+
+            out_dir = "/tmp/lexor_ray_bench/extract_big"
+            shutil.rmtree(out_dir, ignore_errors=True)
+            ds = read_transcripts(tdir_big, override_num_blocks=num_cpus * 4)
+            out = extract_ds(ds, emit_log=True, emit_lineage=True)
+            out.write_parquet(out_dir)
+
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            run_extract_big()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        big = {
+            "big_n_turns": big_n,
+            "big_sec": round(best, 3),
+            "big_turns_per_sec": round(big_n / best, 1),
+        }
+
     ray.shutdown()
     headline = timings["extract_turns"]
     return {
@@ -127,6 +161,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns / headline, 1) if headline else None,
+        **big,
     }
 
 

@@ -19,13 +19,20 @@ from .extract import Extractor, extract_one
 __version__ = "0.1.0"
 
 #: extension → parse dialect (the reference's DEFAULTS alias table,
-#: ``lexor/command/lang.py:24-37``)
+#: ``lexor/command/lang.py:24-37``, including its markdown aliases)
 EXTENSION_DIALECTS = {
     ".html": "html",
     ".htm": "html",
     ".xml": "html",
     ".md": "markdown",
     ".markdown": "markdown",
+    ".mdown": "markdown",
+    ".mkdn": "markdown",
+    ".mkd": "markdown",
+    ".mdwn": "markdown",
+    ".mdtxt": "markdown",
+    ".mdtext": "markdown",
+    ".text": "markdown",
     ".tex": "latex-text",
     ".latex": "latex-text",
     ".lex": "lexor-text",
@@ -34,7 +41,12 @@ EXTENSION_DIALECTS = {
 
 def parse(text: str, lang: str = "html"):
     """Parse markup → (Document, log) — the reference's ``lexor.parse``
-    (``lexor/__init__.py:104-110``)."""
+    (``lexor/__init__.py:104-110``).
+
+    Deliberate divergence: the reference defaults ``lang='xml'``; here
+    the default is the html dialect (the engine's flagship input), and
+    ``'xml'`` is registered as an alias of it so reference-style
+    ``parse(text, 'xml')`` calls keep working."""
     from .core.parser import Parser
     from .dialects.registry import get_dialect
 
@@ -46,12 +58,24 @@ def parse(text: str, lang: str = "html"):
 def read(path: str, lang: str | None = None):
     """Parse a file, inferring the dialect from its extension — the
     reference's ``lexor.read`` + extension inference
-    (``lexor/__init__.py:113-127, 76-80``)."""
+    (``lexor/__init__.py:113-127, 76-80``). Unknown extensions fall
+    back to the html dialect WITH a warning (the reference fails
+    loudly; silent misparsing of .rst/.txt as HTML would be worse
+    than either)."""
     import os
 
     if lang is None:
         ext = os.path.splitext(path)[1].lower()
-        lang = EXTENSION_DIALECTS.get(ext, "html")
+        lang = EXTENSION_DIALECTS.get(ext)
+        if lang is None:
+            import warnings
+
+            warnings.warn(
+                f"no dialect registered for extension {ext!r}; "
+                f"parsing {path!r} as html",
+                stacklevel=2,
+            )
+            lang = "html"
     with open(path) as fh:
         return parse(fh.read(), lang)
 

@@ -8,8 +8,17 @@ directory.
     python -m lexor_ray doc.html --to text        # text+spans JSON to stdout
     python -m lexor_ray doc.html --to markdown    # markdown to stdout
     python -m lexor_ray doc.html --to xml         # normalized XML-ish dump
+    python -m lexor_ray doc.html --to md,xml      # multi-target, one parse
+                                                  # per target, files beside src
+    python -m lexor_ray doc.html --to 'markdown[width=100]'
+                                                  # style parameters
     python -m lexor_ray --table IN_DIR --out OUT_DIR [--to text]
                                                   # distributed, resumable
+
+Target specs follow the reference's ``style[param=val,...]`` grammar
+(``lexor/command/to.py:51-165`` ``split_at``/``style_parameters``);
+several comma-separated targets convert in one invocation like the
+reference's ``lexor f.html md xml`` (``to.py:271-291``).
 """
 
 from __future__ import annotations
@@ -18,12 +27,79 @@ import argparse
 import json
 import sys
 
+#: target aliases (reference accepts short style names)
+_TARGET_ALIASES = {"md": "markdown", "txt": "text"}
+#: output extension per target for multi-target file mode
+_TARGET_EXT = {"text": "txt", "markdown": "md", "xml": "xml"}
 
-def convert_one(text: str, to: str, lang: str = "html") -> str:
+
+def parse_target_spec(spec: str) -> tuple[str, dict]:
+    """``'markdown[width=100,drop=ad|banner]'`` → ``('markdown',
+    {'width': '100', 'drop': 'ad|banner'})`` — the reference's style
+    parameter grammar (``lexor/command/to.py:51-165``)."""
+    spec = spec.strip()
+    params: dict = {}
+    if "[" in spec:
+        if not spec.endswith("]"):
+            raise SystemExit(f"bad target spec {spec!r}: missing closing ']'")
+        spec, _, raw = spec[:-1].partition("[")
+        for item in raw.split(","):
+            if not item:
+                continue
+            if "=" not in item:
+                raise SystemExit(f"bad style parameter {item!r}: expected k=v")
+            k, _, v = item.partition("=")
+            params[k.strip()] = v.strip()
+    target = _TARGET_ALIASES.get(spec, spec)
+    return target, params
+
+
+def split_targets(to: str) -> list[tuple[str, dict]]:
+    """Split a ``--to`` value into target specs; commas inside
+    ``[...]`` belong to the parameter list, not the target list."""
+    out, buf, depth = [], [], 0
+    for ch in to:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        out.append("".join(buf))
+    return [parse_target_spec(s) for s in out if s.strip()]
+
+
+def _drop_classes_dialect(base_name: str, drop: str) -> str:
+    """Register a derived dialect with an overridden boilerplate
+    class set (style parameter ``drop=cls1|cls2``); returns its
+    name. Derived dialects are cached by name, so per-worker state
+    amortization still applies."""
+    from dataclasses import replace
+
+    from .dialects.registry import _REGISTRY, get_dialect, register_dialect
+
+    name = f"{base_name}#drop={drop}"
+    if name not in _REGISTRY:
+        base = get_dialect(base_name)
+        register_dialect(
+            replace(base, name=name, drop_classes=frozenset(drop.split("|")))
+        )
+    return name
+
+
+def convert_one(text: str, to: str, lang: str = "html", params: dict | None = None) -> str:
+    params = params or {}
     if to == "text":
         from .extract import extract_one
 
-        res = extract_one(text, dialect=f"{lang}-text")
+        dialect = f"{lang}-text"
+        if "drop" in params:
+            dialect = _drop_classes_dialect(dialect, params["drop"])
+        res = extract_one(text, dialect=dialect)
         return json.dumps(
             {
                 "extracted_text": res["extracted_text"],
@@ -36,24 +112,47 @@ def convert_one(text: str, to: str, lang: str = "html") -> str:
             raise SystemExit("--to markdown converts HTML input; use --lang html")
         from .dialects.markdown import to_markdown
 
-        return to_markdown(text)
+        return to_markdown(text, width=int(params["width"]) if "width" in params else 70)
     if to == "xml":
         from .core.parser import Parser
         from .core.writer import Writer
         from .dialects.registry import get_dialect
 
-        parse_dialect = {"html": "html", "latex": "latex-text", "markdown": "markdown"}
+        parse_dialect = {
+            "html": "html",
+            "latex": "latex-text",
+            "markdown": "markdown",
+            "lexor": "lexor-text",
+        }
         if lang not in parse_dialect:
-            raise SystemExit(f"unknown --lang {lang!r} (html|latex|markdown)")
+            raise SystemExit(
+                f"unknown input language {lang!r} for --to xml "
+                f"(html|latex|markdown|lexor; inferred from the file "
+                f"extension when --lang is omitted)"
+            )
         doc = Parser(get_dialect(parse_dialect[lang])).parse(text)
-        return Writer().write(doc)
+        w = Writer()
+        if "width" in params:
+            w.width = int(params["width"])
+        return w.write(doc)
     raise SystemExit(f"unknown target style: {to!r} (text|markdown|xml)")
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="lexor_ray", description=__doc__)
     ap.add_argument("src", nargs="?", help="input file ('-' for stdin)")
-    ap.add_argument("--to", default="text", help="target style: text|markdown|xml")
+    ap.add_argument(
+        "--to",
+        default="text",
+        help="comma-separated target specs: text|markdown|xml, each "
+        "optionally with [k=v,...] style parameters "
+        "(e.g. --to 'markdown[width=100],xml')",
+    )
+    ap.add_argument(
+        "--out-dir",
+        help="where multi-target outputs are written "
+        "(default: beside the source file)",
+    )
     ap.add_argument(
         "--lang",
         default=None,
@@ -99,7 +198,27 @@ def main(argv=None) -> int:
         ext = os.path.splitext(args.src)[1].lower() if args.src != "-" else ""
         dialect = EXTENSION_DIALECTS.get(ext, "html")
         lang = {"latex-text": "latex", "lexor-text": "lexor"}.get(dialect, dialect)
-    print(convert_one(text, args.to, lang))
+    targets = split_targets(args.to)
+    if len(targets) == 1:
+        to, params = targets[0]
+        print(convert_one(text, to, lang, params))
+        return 0
+    # multi-target (reference to.py:271-291): one file per target,
+    # written beside the source (or --out-dir)
+    if args.src == "-":
+        ap.error("multi-target conversion needs a source file, not stdin")
+    import os
+
+    base = os.path.splitext(os.path.basename(args.src))[0]
+    out_dir = args.out_dir or (os.path.dirname(os.path.abspath(args.src)))
+    os.makedirs(out_dir, exist_ok=True)
+    for to, params in targets:
+        ext_out = _TARGET_EXT.get(to, to)
+        path = os.path.join(out_dir, f"{base}.{ext_out}")
+        with open(path, "w") as fh:
+            fh.write(convert_one(text, to, lang, params))
+            fh.write("\n")
+        print(path)
     return 0
 
 

@@ -216,13 +216,18 @@ HTML_MARKDOWN = register_dialect(
 )
 
 
-def to_markdown(text: str) -> str:
-    """One-shot: HTML string → markdown (parse → convert → write)."""
+def to_markdown(text: str, width: int = 70) -> str:
+    """One-shot: HTML string → markdown (parse → convert → write).
+    ``width`` is the wrap-engine line width (CLI style parameter
+    ``markdown[width=N]`` — the reference's style_parameters surface,
+    ``lexor/command/to.py:51-165``)."""
     from ..core.converter import Converter
     from ..core.parser import Parser
 
     d = HTML_MARKDOWN
     doc = Parser(d).parse(text)
     out = Converter(d).convert(doc)
-    md = Writer(d).write(out)
+    w = Writer(d)
+    w.width = width
+    md = w.write(out)
     return md.strip("\n")

@@ -109,6 +109,9 @@ def get_dialect(name: str) -> Dialect:
     from . import lexor_lang as _lexor_lang  # noqa: F401
     from . import markdown_src as _markdown_src  # noqa: F401
 
+    # 'xml' aliases the html dialect (the reference's default parse
+    # lang is 'xml'; reference users' parse(text, 'xml') must work)
+    _REGISTRY.setdefault("xml", _REGISTRY["html"])
     if name not in _REGISTRY:
         raise KeyError(f"unknown dialect {name!r}; known: {sorted(_REGISTRY)}")
     return _REGISTRY[name]

@@ -298,9 +298,15 @@ def test_minhash_dedup_distributed_join_cross_block(ray_session, tmp_path):
                        for i in range(20)])}),
         docs_dir / "part-1.parquet",
     )
-    got = df(minhash_dedup(str(tmp_path), threshold=0.8))
+    # join tier forced (small_limit=0): the 100-TB path
+    got = df(minhash_dedup(str(tmp_path), threshold=0.8, small_limit=0))
     assert (3, 57) in set(zip(got["a"], got["b"]))
     assert (got["jaccard"] >= 0.8).all()
+    # measured-small broadcast tier must produce identical rows
+    got2 = df(minhash_dedup(str(tmp_path), threshold=0.8))
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), got2.reset_index(drop=True)
+    )
 
 
 def test_simhash_bucket_pairs_matches_bruteforce(ray_session):

@@ -37,3 +37,79 @@ def test_write_with_markdown_dialect():
     out, _ = lexor_ray.convert(doc, "html-markdown")
     md = lexor_ray.write(out, "html-markdown")
     assert md.strip() == "# T"
+
+
+def test_parse_xml_alias_matches_reference_default():
+    """Reference users call parse(text, 'xml') — alias to html."""
+    doc, log = lexor_ray.parse("<p>hi</p>", "xml")
+    assert doc is not None
+
+
+def test_read_unknown_extension_warns(tmp_path):
+    import warnings
+
+    p = tmp_path / "doc.rst"
+    p.write_text("plain text")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        doc, log = lexor_ray.read(str(p))
+        assert any("no dialect registered" in str(x.message) for x in w)
+
+
+def test_markdown_extension_aliases():
+    for ext in (".mdown", ".mkdn", ".mkd", ".mdwn", ".mdtxt", ".mdtext", ".text"):
+        assert lexor_ray.EXTENSION_DIALECTS[ext] == "markdown"
+
+
+def test_cli_target_spec_grammar():
+    from lexor_ray.__main__ import parse_target_spec, split_targets
+
+    assert parse_target_spec("markdown[width=100]") == ("markdown", {"width": "100"})
+    assert parse_target_spec("md") == ("markdown", {})
+    assert split_targets("markdown[width=100,drop=ad|x],xml") == [
+        ("markdown", {"width": "100", "drop": "ad|x"}),
+        ("xml", {}),
+    ]
+
+
+def test_cli_multi_target_with_style_parameter(tmp_path, capsys):
+    """One invocation converts one file to two targets; the markdown
+    target takes a style parameter (reference to.py:51-165, 271-291)."""
+    import json
+
+    from lexor_ray.__main__ import main
+
+    src = tmp_path / "doc.html"
+    src.write_text("<p>" + " ".join(["word"] * 40) + " <b>bold</b></p>")
+    rc = main([str(src), "--to", "markdown[width=100],text", "--out-dir", str(tmp_path)])
+    assert rc == 0
+    md = (tmp_path / "doc.md").read_text()
+    txt = json.loads((tmp_path / "doc.txt").read_text())
+    assert "**bold**" in md
+    # width=100 honored: no wrapped line shorter than default 70 forces
+    assert max(len(line) for line in md.splitlines()) > 70
+    assert "bold" in txt["extracted_text"]
+
+
+def test_cli_drop_classes_style_parameter(tmp_path, capsys):
+    from lexor_ray.__main__ import main
+
+    src = tmp_path / "d.html"
+    src.write_text('<p>keep</p>\n<div class="promo">drop me</div>')
+    rc = main([str(src), "--to", "text[drop=promo]"])
+    assert rc == 0
+    import json
+
+    out = json.loads(capsys.readouterr().out)
+    assert "drop me" not in out["extracted_text"]
+    assert "keep" in out["extracted_text"]
+
+
+def test_cli_xml_accepts_inferred_lexor_lang(tmp_path, capsys):
+    from lexor_ray.__main__ import main
+
+    src = tmp_path / "t.lex"
+    src.write_text("hello %%{b}world%%")
+    rc = main([str(src), "--to", "xml"])
+    assert rc == 0
+    assert "world" in capsys.readouterr().out
