@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 
 
@@ -93,6 +94,101 @@ def coarse_grouped(
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
     return bucketed.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def bucketed_join(
+    left,
+    right,
+    key_col: str,
+    right_key: str,
+    value_col: str,
+    out_col: str,
+    carry: dict,
+    value_type=None,
+    n_buckets: int = 64,
+):
+    """TASK-BASED distributed hash join: attach ``right[value_col]``
+    to each ``left`` row on ``left[key_col] == right[right_key]``
+    (inner). Both sides are tagged, unioned and hash-bucketed on the
+    join key, then resolved with one vectorized pandas ``merge`` per
+    bucket — this rides the proven task-based sort shuffle instead of
+    ``Dataset.join``'s aggregator ACTOR pool, which reserves CPU
+    proportional to num_partitions and deadlocks chained joins on
+    small CPU budgets (measured; CLAUDE.md actor-pool rule).
+
+    ``carry`` maps carried left-column name → pyarrow type. Keys may
+    be any hashable dtype (int64, string). ``value_type`` defaults to
+    string."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if value_type is None:
+        value_type = pa.string()
+    carry_items = list(carry.items())
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c, _ in carry_items}
+        cols["__key"] = batch[key_col]
+        cols["__value"] = pa.nulls(batch.num_rows, type=value_type)
+        cols["__side"] = pa.array(np.ones(batch.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {c: pa.nulls(n, type=t) for c, t in carry_items}
+        cols["__key"] = batch[right_key]
+        cols["__value"] = batch[value_col]
+        cols["__side"] = pa.array(np.zeros(n, dtype=np.int8))
+        return pa.table(cols)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column("__key").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(k))
+        return batch.append_column(
+            "__bucket", pa.array((h % n_buckets).astype("int32"))
+        )
+
+    out_cols = [*carry, out_col]
+
+    def _series(t) -> pd.Series:
+        if pa.types.is_integer(t):
+            return pd.Series([], dtype="int64")
+        if pa.types.is_floating(t):
+            return pd.Series([], dtype="float64")
+        return pd.Series([], dtype=object)
+
+    def _empty() -> pd.DataFrame:
+        data = {c: _series(t) for c, t in carry_items}
+        data[out_col] = _series(value_type)
+        return pd.DataFrame(data)
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
+        left_g = g[g["__side"] == 1]
+        right_g = g[g["__side"] == 0]
+        if len(left_g) == 0 or len(right_g) == 0:
+            return _empty()
+        m = left_g.merge(
+            right_g[["__key", "__value"]].rename(columns={"__value": out_col}),
+            on="__key",
+            how="inner",
+        )
+        if len(m) == 0:
+            return _empty()
+        res = m[out_cols].copy()
+        for c, t in carry_items:
+            if pa.types.is_integer(t):
+                res[c] = res[c].astype("int64")
+        if pa.types.is_integer(value_type):
+            res[out_col] = res[out_col].astype("int64")
+        return res
+
+    b = tagged.map_batches(add_bucket, batch_format="pyarrow")
+    return b.groupby("__bucket").map_groups(resolve, batch_format="pandas")
 
 
 def coarse_apply(ds, keys: list[str], fn, n_buckets: int = 256):

@@ -400,3 +400,36 @@ def test_embedding_neardup_banded_autosize(ray_session):
     found = set(zip(got["a"], got["b"]))
     for i in range(5):
         assert (i, 200 + i) in found
+
+
+def test_tfidf_join_tier_matches_broadcast_tier(ray_session):
+    """The distributed-vocabulary tier (vocab_limit=0 forces the term
+    join) must produce exactly the broadcast tier's output."""
+    from lexor_ray.ops.textstats import tfidf_top_terms
+
+    a = df(tfidf_top_terms(SF)).reset_index(drop=True)
+    b = df(tfidf_top_terms(SF, vocab_limit=0)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_cluster_pairs_distributed_matches_driver(ray_session):
+    """Dataset-native connected components (pointer-doubling label
+    propagation, no driver-held label map) == the driver union-find
+    path, on a long chain plus disjoint components."""
+    import ray.data
+
+    from lexor_ray.ops.dedup import cluster_pairs, cluster_pairs_distributed
+
+    edges = pd.DataFrame(
+        {
+            "a": list(range(0, 20)) + [100, 200, 201],
+            "b": list(range(1, 21)) + [101, 201, 202],
+        }
+    )
+    want = cluster_pairs(edges).to_pandas().reset_index(drop=True)
+    got = (
+        cluster_pairs_distributed(ray.data.from_pandas(edges), n_buckets=8)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
