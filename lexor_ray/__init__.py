@@ -55,6 +55,29 @@ def parse(text: str, lang: str = "html"):
     return doc, list(p.log)
 
 
+def resolve_input(path: str, search: str | None = None) -> str | None:
+    """Search-path file resolution — the reference's ``LEXORINPUTS``
+    fallback (``lexor/__init__.py:32-49`` ``_read_text`` and
+    ``get_input``, ``lexor/command/to.py:196-222``): if ``path`` does
+    not exist as given, try each directory in the colon-separated
+    ``search`` list (default: the ``LEXORINPUTS`` environment
+    variable). Returns the resolved path, or None if nowhere found."""
+    import os
+
+    if os.path.exists(path):
+        return path
+    if os.path.isabs(path):
+        return None
+    roots = (search if search is not None else os.environ.get("LEXORINPUTS", ""))
+    for root in roots.split(":"):
+        if not root:
+            continue
+        cand = os.path.join(root, path)
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
 def read(path: str, lang: str | None = None):
     """Parse a file, inferring the dialect from its extension — the
     reference's ``lexor.read`` + extension inference
@@ -76,7 +99,10 @@ def read(path: str, lang: str | None = None):
                 stacklevel=2,
             )
             lang = "html"
-    with open(path) as fh:
+    resolved = resolve_input(path)
+    if resolved is None:
+        raise FileNotFoundError(path)
+    with open(resolved) as fh:
         return parse(fh.read(), lang)
 
 
@@ -108,6 +134,7 @@ __all__ = [
     "extract_one",
     "parse",
     "read",
+    "resolve_input",
     "convert",
     "write",
     "EXTENSION_DIALECTS",

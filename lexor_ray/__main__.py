@@ -138,6 +138,67 @@ def convert_one(text: str, to: str, lang: str = "html", params: dict | None = No
     raise SystemExit(f"unknown target style: {to!r} (text|markdown|xml)")
 
 
+def document_dialect(name: str) -> str:
+    """Emit a markdown API document for a dialect — the reference's
+    ``lexor document`` command restated (``lexor/command/document.py``:
+    it generated API docs for a style module; here the doc is derived
+    from the registered :class:`~lexor_ray.dialects.registry.Dialect`
+    object: node parsers, converter rules, writer rules, boilerplate
+    classes and lifecycle hooks, each with its docstring summary)."""
+    from .dialects.registry import get_dialect
+
+    d = get_dialect(name)
+    lines = [f"# dialect `{d.name}`", "", f"language: `{d.lang}`", ""]
+
+    def first_line(obj) -> str:
+        doc = getattr(obj, "__doc__", None) or ""
+        return doc.strip().splitlines()[0] if doc.strip() else ""
+
+    lines.append("## node parsers (MAPPING)")
+    lines.append("")
+    lines.append("| container | next-char class | parsers |")
+    lines.append("|---|---|---|")
+    for key, val in sorted(d.parser_mapping.items()):
+        if isinstance(val, str):
+            lines.append(f"| `{key}` | → alias of `{val}` | |")
+        else:
+            chars, parsers = val
+            names = ", ".join(
+                f"`{p.__name__}`" + (f" — {first_line(p)}" if first_line(p) else "")
+                for p in parsers
+            )
+            lines.append(f"| `{key}` | `{chars!r}` | {names} |")
+    lines.append("")
+    lines.append("## converter rules")
+    lines.append("")
+    for key, rule in sorted(d.converters.items()):
+        bits = [f"copy={rule.copy}", f"copy_children={rule.copy_children}"]
+        if rule.start:
+            bits.append(f"start={getattr(rule.start, '__name__', rule.start)}")
+        if rule.end:
+            bits.append(f"end={getattr(rule.end, '__name__', rule.end)}")
+        lines.append(f"- `{key}`: {', '.join(bits)}")
+    lines.append("")
+    lines.append("## writer rules")
+    lines.append("")
+    for key, w in sorted(d.writers.items()):
+        nm = getattr(w, "__name__", type(w).__name__)
+        doc = first_line(w)
+        lines.append(f"- `{key}`: `{nm}`" + (f" — {doc}" if doc else ""))
+    if d.drop_classes:
+        lines.append("")
+        lines.append(
+            "## boilerplate classes dropped: "
+            + ", ".join(f"`{c}`" for c in sorted(d.drop_classes))
+        )
+    if d.hooks:
+        lines.append("")
+        lines.append(
+            "## lifecycle hooks: " + ", ".join(f"`{h}`" for h in sorted(d.hooks))
+        )
+    return "\n".join(lines)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="lexor_ray", description=__doc__)
     ap.add_argument("src", nargs="?", help="input file ('-' for stdin)")
@@ -158,10 +219,20 @@ def main(argv=None) -> int:
         default=None,
         help="input language: html|latex|markdown (default: inferred from extension)",
     )
+    ap.add_argument(
+        "--document",
+        metavar="DIALECT",
+        help="print a markdown API document for a registered dialect "
+        "(the reference's `lexor document` command) and exit",
+    )
     ap.add_argument("--table", help="transcripts parquet dir (distributed mode)")
     ap.add_argument("--out", help="output dir for --table mode")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
+
+    if args.document:
+        print(document_dialect(args.document))
+        return 0
 
     if args.table:
         if not args.out:
@@ -184,7 +255,19 @@ def main(argv=None) -> int:
 
     if not args.src:
         ap.error("provide a source file or --table")
-    text = sys.stdin.read() if args.src == "-" else open(args.src).read()
+    if args.src == "-":
+        text = sys.stdin.read()
+    else:
+        from . import resolve_input
+
+        resolved = resolve_input(args.src)
+        if resolved is None:
+            ap.error(
+                f"{args.src!r} not found (searched LEXORINPUTS="
+                f"{__import__('os').environ.get('LEXORINPUTS', '')!r})"
+            )
+        args.src = resolved
+        text = open(resolved).read()
     lang = args.lang
     if lang is None:
         # language inference from extension (reference DEFAULTS alias

@@ -113,3 +113,31 @@ def test_cli_xml_accepts_inferred_lexor_lang(tmp_path, capsys):
     rc = main([str(src), "--to", "xml"])
     assert rc == 0
     assert "world" in capsys.readouterr().out
+
+
+def test_resolve_input_search_path(tmp_path, monkeypatch):
+    """S3: LEXORINPUTS search-path resolution (reference
+    lexor/__init__.py:32-49, command/to.py:196-222)."""
+    d1 = tmp_path / "a"
+    d1.mkdir()
+    (d1 / "doc.html").write_text("<p>x</p>")
+    monkeypatch.setenv("LEXORINPUTS", f"/nonexistent:{d1}")
+    assert lexor_ray.resolve_input("doc.html") == str(d1 / "doc.html")
+    assert lexor_ray.resolve_input("missing.html") is None
+    doc, log = lexor_ray.read("doc.html")
+    assert doc is not None
+    monkeypatch.chdir(tmp_path)
+    from lexor_ray.__main__ import main
+    assert main(["doc.html", "--to", "text"]) == 0
+
+
+def test_cli_document_command(capsys):
+    """The reference's `lexor document` API-doc emission."""
+    from lexor_ray.__main__ import main
+
+    rc = main(["--document", "html-text"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "# dialect `html-text`" in out
+    assert "node parsers" in out
+    assert "converter rules" in out
