@@ -151,7 +151,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         }
 
     ray.shutdown()
-    headline = timings["extract_turns"]
+    headline = timings.get("extract_turns")
     return {
         "metric": "extraction+ops wall time at sf (headline=extract_turns)",
         "value": headline,

@@ -390,21 +390,42 @@ def events_sliding_window(sf_dir: str, size_s: int = 3600, step_s: int = 1800):
 
 def top_events_per_user(sf_dir: str, k: int = 3):
     """Per-group top-k (window-function shape): the k most recent
-    events per user — coarse hash-bucket shuffle + per-user top-k
-    inside the bucket (``coarse_grouped``: millions of tiny user
-    groups would be per-group-overhead bound under a plain
-    ``groupby().map_groups``; BENCH/BASELINE.md measured this)."""
-    from .util import coarse_grouped
+    events per user — coarse hash-bucket shuffle + ONE vectorized
+    pandas pass per bucket (sort + groupby cumcount; no per-user
+    Python call at all — ``coarse_apply``; BENCH/BASELINE.md measured
+    per-group dispatch binding both map_groups AND per-fine-group
+    coarse_grouped at high user cardinality)."""
+    from .util import coarse_apply
 
     ds = tbl(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], ascending=[False, True]).head(k)
-        g["rank"] = range(1, len(g) + 1)
-        g["ts_us"] = g["ts"].astype("datetime64[us]").astype("int64")
-        return g[["user_id", "event_id", "ts_us", "rank"]]
+    def topk(bucket: pd.DataFrame) -> pd.DataFrame:
+        if len(bucket) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "event_id": pd.Series([], dtype="int64"),
+                    "ts_us": pd.Series([], dtype="int64"),
+                    "rank": pd.Series([], dtype="int64"),
+                }
+            )
+        df = bucket.sort_values(
+            ["user_id", "ts", "event_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        rank = df.groupby("user_id", sort=False).cumcount() + 1
+        df = df.assign(rank=rank)[rank <= k]
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "event_id": df["event_id"],
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+                "rank": df["rank"],
+            }
+        )
 
-    return coarse_grouped(ds, ["user_id"], topk).sort(["user_id", "rank"])
+    return coarse_apply(ds, ["user_id"], topk).sort(["user_id", "rank"])
 
 
 def customers_without_orders(sf_dir: str, since: str = "2001-01-01"):
@@ -496,8 +517,8 @@ def conversation_documents(sf_dir: str):
     src = transcripts_for(sf_dir)
     ds = ray.data.read_parquet(src, columns=["conv_id", "turn_idx", "text"])
 
-    def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
+    def assemble(bucket: pd.DataFrame) -> pd.DataFrame:
+        if len(bucket) == 0:
             return pd.DataFrame(
                 {
                     "conv_id": pd.Series([], dtype=object),
@@ -505,30 +526,35 @@ def conversation_documents(sf_dir: str):
                     "full_text": pd.Series([], dtype=object),
                 }
             )
-        g = g.sort_values("turn_idx")
-        return pd.DataFrame(
+        df = bucket.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        g = df.groupby("conv_id", sort=False)
+        out = pd.DataFrame(
             {
-                "conv_id": [g["conv_id"].iloc[0]],
-                "n_turns": [len(g)],
-                "full_text": ["\n".join(g["text"])],
+                "conv_id": g["conv_id"].first(),
+                "n_turns": g.size(),
+                "full_text": g["text"].agg("\n".join),
             }
         )
+        return out.reset_index(drop=True)
 
-    from .util import coarse_grouped
+    from .util import coarse_apply
 
-    return coarse_grouped(ds, ["conv_id"], assemble).sort("conv_id")
+    return coarse_apply(ds, ["conv_id"], assemble).sort("conv_id")
 
 
 def events_sessionize(sf_dir: str, gap_s: int = 600):
     """Sessionization: per-user ordered gap analysis — coarse
-    hash-bucket shuffle on user_id, vectorized per-user gap/cumsum
-    inside the bucket (the per-key ordered-log pattern via
-    ``coarse_grouped``; plain ``map_groups`` over per-user groups is
-    per-group-overhead bound). Returns one row per session."""
+    hash-bucket shuffle on user_id, then ONE vectorized pandas pass
+    per bucket (``coarse_apply``): sort by (user, ts), session breaks
+    where the user changes or the gap exceeds ``gap_s``, cumsum →
+    session ids, single C-level groupby for the roll-up. No per-user
+    Python call (measured: per-group dispatch dominates at high user
+    cardinality even under coarse_grouped). Returns one row per
+    session."""
     ds = tbl(sf_dir, "events", columns=["user_id", "ts", "event_type"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
+    def sessions(bucket: pd.DataFrame) -> pd.DataFrame:
+        if len(bucket) == 0:
             return pd.DataFrame(
                 {
                     "user_id": pd.Series([], dtype="int64"),
@@ -537,24 +563,26 @@ def events_sessionize(sf_dir: str, gap_s: int = 600):
                     "n_events": pd.Series([], dtype="int64"),
                 }
             )
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff().dt.total_seconds().fillna(float("inf"))
-        sid = (gaps > gap_s).cumsum()
-        out = g.groupby(sid).agg(
-            user_id=("user_id", "first"),
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
-            n_events=("ts", "size"),
+        df = bucket.sort_values(["user_id", "ts"], kind="mergesort")
+        gaps = df["ts"].diff().dt.total_seconds()
+        brk = df["user_id"].ne(df["user_id"].shift()) | (gaps > gap_s)
+        sid = brk.cumsum()
+        g = df.groupby(sid, sort=False)
+        out = pd.DataFrame(
+            {
+                "user_id": g["user_id"].first(),
+                # exact integer microseconds: immune to timestamp-unit
+                # normalization differences between engines
+                "session_start": g["ts"].min().astype("datetime64[us]").astype("int64"),
+                "session_end": g["ts"].max().astype("datetime64[us]").astype("int64"),
+                "n_events": g.size(),
+            }
         )
-        # exact integer microseconds: immune to timestamp-unit
-        # normalization differences between engines
-        out["session_start"] = out["session_start"].astype("datetime64[us]").astype("int64")
-        out["session_end"] = out["session_end"].astype("datetime64[us]").astype("int64")
         return out.reset_index(drop=True)
 
-    from .util import coarse_grouped
+    from .util import coarse_apply
 
-    return coarse_grouped(ds, ["user_id"], sessions).sort(
+    return coarse_apply(ds, ["user_id"], sessions).sort(
         ["user_id", "session_start"]
     )
 
@@ -563,23 +591,28 @@ def events_asof_join(sf_dir: str):
     """As-of join (SURVEY custom-operator rule): for every click
     event, the most recent prior-or-equal purchase value of the same
     user. Ray Data has no asof join → coarse hash-bucket shuffle on
-    user_id with per-user ``pd.merge_asof`` over the ts-sorted group
-    (``coarse_grouped`` amortizes per-group overhead; the documented
-    partitioning assumption is that one user's events fit one
-    group)."""
+    user_id with ONE ``pd.merge_asof(..., by="user_id")`` per bucket
+    (``coarse_apply``: merge_asof's ``by`` handles every user in the
+    bucket in a single vectorized C pass; the documented partitioning
+    assumption is that one user's events fit one bucket)."""
     ds = tbl(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        clicks = g[g["event_type"] == "click"].sort_values("ts")
-        purch = g[g["event_type"] == "purchase"].sort_values("ts")
+    def asof(bucket: pd.DataFrame) -> pd.DataFrame:
+        clicks = bucket[bucket["event_type"] == "click"].sort_values(
+            "ts", kind="mergesort"
+        )
+        purch = bucket[bucket["event_type"] == "purchase"].sort_values(
+            "ts", kind="mergesort"
+        )
         if len(clicks) == 0:
             return pd.DataFrame(
                 {"event_id": [], "user_id": [], "last_purchase_value": []}
             ).astype({"event_id": "int64", "user_id": "int64"})
         merged = pd.merge_asof(
             clicks[["event_id", "user_id", "ts"]],
-            purch[["ts", "value"]],
+            purch[["user_id", "ts", "value"]],
             on="ts",
+            by="user_id",
             direction="backward",
         )
         return pd.DataFrame(
@@ -590,9 +623,9 @@ def events_asof_join(sf_dir: str):
             }
         )
 
-    from .util import coarse_grouped
+    from .util import coarse_apply
 
-    return coarse_grouped(ds, ["user_id"], asof).sort("event_id")
+    return coarse_apply(ds, ["user_id"], asof).sort("event_id")
 
 
 def distinct_users_per_event_type(sf_dir: str):
