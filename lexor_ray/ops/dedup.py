@@ -157,22 +157,53 @@ def minhash_lsh_candidates(sf_dir: str, num_perm: int = 64, bands: int = 16):
         batch_format="pyarrow",
     )
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype({"a": "int64", "b": "int64"})
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+    from .util import coarse_apply, coarse_dedup
 
-    from .util import coarse_dedup, coarse_grouped
-
-    cand = coarse_grouped(
-        sigs, ["band_id", "band_hash"], pairs, min_group_size=2
+    cand = coarse_apply(
+        sigs, ["band_id", "band_hash"], _bucket_pair_expansion
     )
     # dedup pairs found in multiple bands (vectorized coarse dedup);
     # NOT sorted here — order is cosmetic and a global sort is a whole
     # extra all-to-all; consumers sort their own final output
     return coarse_dedup(cand, ["a", "b"])
+
+
+def _bucket_pair_expansion(bucket: pd.DataFrame) -> pd.DataFrame:
+    """All (a, b) pairs within each (band_id, band_hash) fine group of
+    a coarse bucket, with NO per-group Python call: rows are sorted
+    once, fine groups of the SAME size are stacked into one matrix and
+    pair-expanded with a single ``triu_indices`` per size class
+    (LSH buckets are overwhelmingly size 2–3, so there are only a
+    handful of classes). Per-group dispatch was the measured bottleneck
+    of the previous shape (BENCH/BASELINE.md crossover table)."""
+    empty = pd.DataFrame({"a": [], "b": []}).astype({"a": "int64", "b": "int64"})
+    if len(bucket) == 0:
+        return empty
+    df = bucket.drop_duplicates(["band_id", "band_hash", "doc_id"]).sort_values(
+        ["band_id", "band_hash", "doc_id"], kind="mergesort"
+    )
+    change = (
+        df["band_id"].ne(df["band_id"].shift())
+        | df["band_hash"].ne(df["band_hash"].shift())
+    ).to_numpy()
+    gid = np.cumsum(change) - 1
+    ids = df["doc_id"].to_numpy().astype(np.int64)
+    counts = np.bincount(gid)
+    sizes = counts[gid]
+    out_a, out_b = [], []
+    for s in np.unique(sizes):
+        if s < 2:
+            continue
+        mask = sizes == s
+        mat = ids[mask].reshape(-1, s)  # rows are sorted within group
+        ii, jj = np.triu_indices(s, k=1)
+        out_a.append(mat[:, ii].reshape(-1))
+        out_b.append(mat[:, jj].reshape(-1))
+    if not out_a:
+        return empty
+    return pd.DataFrame(
+        {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+    )
 
 
 def _empty_pairs_table() -> pa.Table:
@@ -787,24 +818,75 @@ def simhash_candidates(
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2:
-            return pd.DataFrame(
-                {"a": [], "b": [], "hamming": []}
-            ).astype({"a": "int64", "b": "int64", "hamming": "int64"})
-        band = int(g["band_id"].iloc[0])
-        ids = g["doc_id"].to_numpy()
-        sig = g["simhash"].to_numpy().astype(np.uint64)
-        return simhash_bucket_pairs(
-            ids, sig, band, max_hamming, direct_cap, clique_cap, cross_cap
+    def pairs_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        """One vectorized pass per coarse bucket: same-size fine
+        (band_id, band_key) groups are stacked and pair-verified with
+        ONE batched XOR+popcount per size class; only groups larger
+        than ``direct_cap`` fall back to the per-group recursive
+        splitter (no per-group Python for the common case — the
+        measured dispatch bottleneck, BENCH/BASELINE.md)."""
+        empty = pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(
+            {"a": "int64", "b": "int64", "hamming": "int64"}
         )
+        if len(bucket) == 0:
+            return empty
+        df = bucket.drop_duplicates(
+            ["band_id", "band_key", "doc_id"]
+        ).sort_values(["band_id", "band_key", "doc_id"], kind="mergesort")
+        change = (
+            df["band_id"].ne(df["band_id"].shift())
+            | df["band_key"].ne(df["band_key"].shift())
+        ).to_numpy()
+        gid = np.cumsum(change) - 1
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        sig = df["simhash"].to_numpy().astype(np.uint64)
+        bands = df["band_id"].to_numpy()
+        counts = np.bincount(gid)
+        sizes = counts[gid]
+        outs = []
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            mask = sizes == s
+            sub_ids = ids[mask].reshape(-1, s)
+            sub_sig = sig[mask].reshape(-1, s)
+            if s > direct_cap:
+                sub_band = bands[mask].reshape(-1, s)[:, 0]
+                for row_ids, row_sig, band in zip(sub_ids, sub_sig, sub_band):
+                    outs.append(
+                        simhash_bucket_pairs(
+                            row_ids,
+                            row_sig,
+                            int(band),
+                            max_hamming,
+                            direct_cap,
+                            clique_cap,
+                            cross_cap,
+                        )
+                    )
+                continue
+            ii, jj = np.triu_indices(s, k=1)
+            x = sub_sig[:, ii] ^ sub_sig[:, jj]  # (n_groups, n_pairs)
+            ham = _popcount64(x.reshape(-1)).reshape(x.shape)
+            keep = ham <= max_hamming
+            gi, pi = np.nonzero(keep)
+            if len(gi):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "a": sub_ids[gi, ii[pi]],
+                            "b": sub_ids[gi, jj[pi]],
+                            "hamming": ham[gi, pi],
+                        }
+                    )
+                )
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
 
-    from .util import coarse_dedup, coarse_grouped
+    from .util import coarse_apply, coarse_dedup
 
-    cand = coarse_grouped(
-        exploded, ["band_id", "band_key"], pairs, min_group_size=2
-    )
+    cand = coarse_apply(exploded, ["band_id", "band_key"], pairs_bucket)
     return coarse_dedup(cand, ["a", "b"]).sort(["a", "b"])
 
 
@@ -986,33 +1068,70 @@ def embedding_neardup(
         keep = sim[ii, jj] >= threshold
         return [(ids[ii][keep], ids[jj][keep], sim[ii, jj][keep])]
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
+    def verify_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        """One vectorized pass per coarse bucket: fine (band, bucket)
+        groups of the same size are stacked and verified with ONE
+        batched matmul per size class (einsum) — no per-group Python
+        dispatch (the measured bottleneck; BENCH/BASELINE.md).
+        Oversized groups fall back to the recursive splitter."""
         empty = pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
             {"a": "int64", "b": "int64", "cosine": "float64"}
         )
-        if len(group) < 2:
+        if len(bucket) == 0:
             return empty
-        g = group.sort_values("vec_id")
-        ids = g["vec_id"].to_numpy()
-        emb = np.asarray(g["embedding"].tolist(), dtype=np.float64)
-        parts = _verify_arrays(ids, emb, 0)
-        if not parts:
+        df = bucket.drop_duplicates(["band_id", "bucket", "vec_id"]).sort_values(
+            ["band_id", "bucket", "vec_id"], kind="mergesort"
+        )
+        change = (
+            df["band_id"].ne(df["band_id"].shift())
+            | df["bucket"].ne(df["bucket"].shift())
+        ).to_numpy()
+        gid = np.cumsum(change) - 1
+        ids = df["vec_id"].to_numpy().astype(np.int64)
+        counts = np.bincount(gid)
+        sizes = counts[gid]
+        dim = len(df["embedding"].iloc[0])
+        out_a, out_b, out_c = [], [], []
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            mask = sizes == s
+            sub_ids = ids[mask].reshape(-1, s)
+            emb = np.asarray(
+                df.loc[mask, "embedding"].tolist(), dtype=np.float64
+            ).reshape(-1, s, dim)
+            if s > max_bucket:
+                for row_ids, row_emb in zip(sub_ids, emb):
+                    for pa_, pb_, pcos in _verify_arrays(row_ids, row_emb, 0):
+                        out_a.append(pa_)
+                        out_b.append(pb_)
+                        out_c.append(pcos)
+                continue
+            norm = np.linalg.norm(emb, axis=2, keepdims=True)
+            norm[norm == 0] = 1.0
+            unit = emb / norm
+            sims = np.einsum("nsd,ntd->nst", unit, unit)
+            ii, jj = np.triu_indices(s, k=1)
+            vals = sims[:, ii, jj]  # (n_groups, n_pairs)
+            keep = vals >= threshold
+            gi, pi = np.nonzero(keep)
+            if len(gi):
+                out_a.append(sub_ids[gi, ii[pi]])
+                out_b.append(sub_ids[gi, jj[pi]])
+                out_c.append(vals[gi, pi])
+        if not out_a:
             return empty
         return pd.DataFrame(
             {
-                "a": np.concatenate([p[0] for p in parts]).astype("int64"),
-                "b": np.concatenate([p[1] for p in parts]).astype("int64"),
-                "cosine": np.round(
-                    np.concatenate([p[2] for p in parts]), 4
-                ).astype("float64"),
+                "a": np.concatenate(out_a).astype("int64"),
+                "b": np.concatenate(out_b).astype("int64"),
+                "cosine": np.round(np.concatenate(out_c), 4).astype("float64"),
             }
         )
 
-    from .util import coarse_dedup, coarse_grouped
+    from .util import coarse_apply, coarse_dedup
 
-    cand = coarse_grouped(
-        bucketed, ["band_id", "bucket"], verify, min_group_size=2
-    )
+    cand = coarse_apply(bucketed, ["band_id", "bucket"], verify_bucket)
     out = coarse_dedup(cand, ["a", "b"]).sort(["a", "b"]).materialize()
     if out.count() == 0:
         # empty Ray results drop their schema (CLAUDE.md gotcha) —

@@ -433,3 +433,25 @@ def test_cluster_pairs_distributed_matches_driver(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_simhash_pipeline_equals_bruteforce(ray_session):
+    """The full banded+bucketed+vectorized pipeline must equal a
+    direct all-pairs Hamming filter over every document (pigeonhole
+    exactness of the 4x16-bit banding)."""
+    import pyarrow.parquet as pq
+
+    from lexor_ray.ops.dedup import SimHashSignatures, _popcount64, simhash_candidates
+
+    got = df(simhash_candidates(SF, max_hamming=3))
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    sh = SimHashSignatures()
+    sig = np.array([sh.sim64(t) for t in docs["text"]], dtype=np.uint64)
+    ids = docs["doc_id"].to_numpy()
+    order = np.argsort(ids)
+    ids, sig = ids[order], sig[order]
+    ii, jj = np.triu_indices(len(ids), k=1)
+    ham = _popcount64(sig[ii] ^ sig[jj])
+    keep = ham <= 3
+    want = set(zip(ids[ii][keep], ids[jj][keep]))
+    assert set(zip(got["a"], got["b"])) == want
