@@ -29,6 +29,7 @@ from .core.converter import Converter
 from .core.dom import CharacterData, Document, Entity, Text
 from .core.parser import Parser
 from .dialects.registry import get_dialect
+from .fast_scan import scan_extract as _scan_extract
 
 #: rows without any of these chars cannot contain markup or entities —
 #: extraction is the identity with a single full-width span.
@@ -153,9 +154,7 @@ class Extractor:
             # DOM-free flat scan — byte-identical to the parse→convert
             # →write path for pure copy/drop dialects (property-tested
             # in tests/test_fast_scan.py), ~3x the throughput.
-            from .fast_scan import scan_extract
-
-            extracted, spans, log = scan_extract(
+            extracted, spans, log = _scan_extract(
                 text,
                 self._drop_names,
                 self.parser.dialect.drop_classes,

@@ -51,10 +51,21 @@ _ENT = re.compile(r"&(?:#[0-9]{1,7};|#[xX][0-9a-fA-F]{1,6};|[a-zA-Z][a-zA-Z0-9]{
 _ENGINE = "lexor_ray.core.parser"
 
 
+#: attribute-less open tag `<name>` — the dominant case in real
+#: markup; same name charset as _TAG_OPEN with an immediate '>'
+_SIMPLE_TAG = re.compile(r"<([a-zA-Z][a-zA-Z0-9:_.-]*)>")
+
+
 def _scan_tag(text: str, c: int, end: int):
     """Shared open-tag scanner — the exact attribute grammar of
     ``ElementParser.make_node`` (``dialects/html.py``). Returns
     (name, class_attr, i, self_closing, terminated) or None."""
+    sm = _SIMPLE_TAG.match(text, c)
+    if sm is not None:
+        # equivalent to the full scan: name chars identical to
+        # _TAG_OPEN, '>' immediately after → no attributes, not
+        # self-closing, terminated (byte-identity fuzz-tested)
+        return sm.group(1).lower(), None, sm.end(), False, True
     m = _TAG_OPEN.match(text, c)
     if m is None:
         return None
