@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": textstats.bpe_token_counts,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "lang_id": textstats.lang_id,
+        "repetition_signals": textstats.repetition_signals,
+        "doc_length_quantiles": textstats.doc_length_quantiles,
         "fingerprints": textstats.fingerprints,
         "lang_distribution": textstats.lang_distribution,
         # multimodal plumbing
@@ -552,6 +554,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_distinct(a.sh || b.sh)) AS BIGINT) AS union_size
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0
             ORDER BY a
+        """,
+        # Gopher-style repetition signal inputs (integer set sizes)
+        "repetition_signals": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+                            THEN []
+                            ELSE string_split_regex(
+                                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+                       END AS words,
+                       string_split(text, chr(10)) AS lines
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_words,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(list_distinct(lines)) AS BIGINT) AS n_distinct_lines
+            FROM t ORDER BY doc_id
+        """,
+        # discrete quantiles; rank convention floor((n-1)*q) matches
+        # quantile_disc exactly
+        "doc_length_quantiles": """
+            WITH a AS (
+                SELECT quantile_disc(length(text),
+                                     [0.25, 0.5, 0.75, 0.9, 0.99]) AS v
+                FROM documents
+            )
+            SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+                   CAST(unnest(v) AS BIGINT) AS n_chars
+            FROM a
         """,
         # Exact all-pairs cosine threshold. Sound because the Ray op's
         # verify stage computes EXACT cosine within buckets (it can

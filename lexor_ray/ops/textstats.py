@@ -514,6 +514,71 @@ def _tfidf_joined(ds, df_ds, n_docs: int, top_k: int):
     )
 
 
+def repetition_signals(sf_dir: str):
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    public filtering rules): per document the word count, DISTINCT
+    word count, line count and DISTINCT line count — the inputs to
+    duplicate-line / duplicate-word-fraction filters. Integer outputs,
+    fully SQL-checkable."""
+    ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def signals(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        words = texts.str.strip().str.split()
+        lines = texts.str.split("\n")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": words.map(len).astype("int64"),
+                "n_distinct_words": words.map(lambda w: len(set(w))).astype("int64"),
+                "n_lines": lines.map(len).astype("int64"),
+                "n_distinct_lines": lines.map(lambda l: len(set(l))).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(signals, batch_format="pandas").sort("doc_id")
+
+
+def doc_length_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
+    """Exact discrete length quantiles over the corpus via a
+    distributed value-counts histogram: per-batch grouped count on
+    n_chars → tiny global groupby → driver-side cumulative walk. The
+    collected state is one row per DISTINCT document length (bounded
+    by the max length, not the corpus), so the pattern holds at any
+    scale. Rank convention matches DuckDB ``quantile_disc``:
+    0-indexed ``floor((n-1)·q)`` over the sorted values."""
+    ds = tbl(sf_dir, "documents", columns=["text"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = pa.table({"n": pc.cast(pc.utf8_length(batch["text"]), pa.int64())})
+        return t.group_by(["n"]).aggregate([("n", "count")])
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("n")
+        .aggregate(Sum("n_count", alias_name="c"))
+        .to_pandas()
+        .sort_values("n")
+    )
+    total = int(counts["c"].sum())
+    cum = counts["c"].cumsum().to_numpy()
+    lens = counts["n"].to_numpy()
+    out_q, out_v = [], []
+    for q in qs:
+        rank = int(np.floor((total - 1) * q))
+        idx = int(np.searchsorted(cum, rank + 1))
+        out_q.append(float(q))
+        out_v.append(int(lens[idx]))
+    return pa.table(
+        {
+            "q": pa.array(out_q, type=pa.float64()),
+            "n_chars": pa.array(out_v, type=pa.int64()),
+        }
+    )
+
+
 def lang_distribution(sf_dir: str):
     """Grouped count by the gold lang label (SQL-checkable)."""
     ds = tbl(sf_dir, "documents", columns=["lang"])

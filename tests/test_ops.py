@@ -455,3 +455,20 @@ def test_simhash_pipeline_equals_bruteforce(ray_session):
     keep = ham <= 3
     want = set(zip(ids[ii][keep], ids[jj][keep]))
     assert set(zip(got["a"], got["b"])) == want
+
+
+def test_repetition_signals_semantics(ray_session):
+    from lexor_ray.ops.textstats import repetition_signals
+
+    got = df(repetition_signals(SF))
+    assert (got["n_distinct_words"] <= got["n_words"]).all()
+    assert (got["n_distinct_lines"] <= got["n_lines"]).all()
+    assert (got["n_lines"] >= 1).all()
+
+
+def test_doc_length_quantiles_monotone(ray_session):
+    from lexor_ray.ops.textstats import doc_length_quantiles
+
+    got = doc_length_quantiles(SF).to_pandas()
+    assert list(got["q"]) == [0.25, 0.5, 0.75, 0.9, 0.99]
+    assert (got["n_chars"].diff().dropna() >= 0).all()
