@@ -151,37 +151,44 @@ def lsh_ann_topk(
     ds = tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     class BucketSearch:
-        def __init__(self) -> None:
-            r = np.random.default_rng(29)
-            self.planes = r.standard_normal((64, n_planes))
-            self.qids, self.qm, self.probe_map = ray.get(q_ref)
+        """Per-worker state holds only the (seed-derived) plane matrix
+        — cached keyed by n_planes, so repeated lsh_ann_topk calls
+        don't grow the worker cache (round-1 leak: the cache key
+        embedded the per-call query ObjectRef). The per-call query set
+        is read from the broadcast ref each batch (zero-copy plasma
+        read, not re-shipped) and passed in explicitly."""
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
+        def __init__(self, n_planes_: int) -> None:
+            r = np.random.default_rng(29)
+            self.planes = r.standard_normal((64, n_planes_))
+            self.n_planes = n_planes_
+
+        def search(self, batch: pa.Table, qids, qm, probe_map, k: int) -> pa.Table:
             ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
             emb = _normalize(
                 np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
             )
             bits = (emb @ self.planes > 0).astype(np.uint32)
             keys = np.zeros(len(ids), dtype=np.uint32)
-            for b in range(n_planes):
+            for b in range(self.n_planes):
                 keys |= bits[:, b] << b
             out_q, out_v, out_s = [], [], []
             # group batch rows by bucket, search only probed buckets
             for key in np.unique(keys):
-                queries = self.probe_map.get(int(key))
+                queries = probe_map.get(int(key))
                 if not queries:
                     continue
                 mask = keys == key
                 sub_ids = ids[mask]
                 sub = emb[mask]
-                sims = self.qm[queries] @ sub.T
+                sims = qm[queries] @ sub.T
                 for row, qi in zip(sims, queries):
                     kk = min(k + 1, len(sub_ids))
                     idx = np.argpartition(-row, kk - 1)[:kk]
                     for j in idx:
-                        if sub_ids[j] == self.qids[qi]:
+                        if sub_ids[j] == qids[qi]:
                             continue
-                        out_q.append(self.qids[qi])
+                        out_q.append(qids[qi])
                         out_v.append(sub_ids[j])
                         out_s.append(row[j])
             return pa.table(
@@ -194,8 +201,10 @@ def lsh_ann_topk(
 
     from .util import cached
 
-    def search_batches(batch):
-        return cached(("lsh-search", str(q_ref)), BucketSearch)(batch)
+    def search_batches(batch, _n=n_planes, _k=k, _q=q_ref):
+        inst = cached(("lsh-search-planes", _n), lambda: BucketSearch(_n))
+        qids_, qm_, probe_map_ = ray.get(_q)
+        return inst.search(batch, qids_, qm_, probe_map_, _k)
 
     cand = ds.map_batches(search_batches, batch_format="pyarrow")
 
