@@ -348,6 +348,7 @@ def run_extraction(
     files_per_chunk: int = 64,
     batch_size: int = 1024,
     concurrency=None,
+    max_in_flight: int = 2,
 ) -> dict:
     """Process a directory (or file) of transcripts parquet in
     deterministic chunks of input files. Completed chunks are recorded
@@ -357,7 +358,13 @@ def run_extraction(
 
     At cluster scale each chunk is sized (``files_per_chunk``) to keep
     every node busy while bounding the work lost to a mid-chunk
-    failure; within a chunk execution is fully streaming.
+    failure; within a chunk execution is fully streaming. Up to
+    ``max_in_flight`` chunk pipelines run concurrently (each Dataset
+    has its own streaming executor) so one chunk's startup/lineage
+    tail overlaps the next chunk's compute — measured to recover most
+    of the per-chunk startup cost of the strictly sequential loop
+    (BENCH/BASELINE.md soak); chunk identity, manifests and atomic
+    renames are unchanged, so resume semantics are identical.
     """
     import ray.data
 
@@ -374,6 +381,7 @@ def run_extraction(
     os.makedirs(manifest_dir, exist_ok=True)
     os.makedirs(data_dir, exist_ok=True)
     summary = {"chunks_total": 0, "chunks_skipped": 0, "rows": 0}
+    jobs: list[tuple[int, list]] = []
     for ci, chunk in enumerate(_chunks(files, files_per_chunk)):
         part = f"part-{ci:05d}"
         mpath = os.path.join(manifest_dir, part + ".json")
@@ -385,11 +393,16 @@ def run_extraction(
                 summary["chunks_skipped"] += 1
                 summary["rows"] += rec.get("rows", 0)
                 continue
+        jobs.append((ci, chunk))
+
+    def process(ci: int, chunk: list) -> int:
+        part = f"part-{ci:05d}"
+        mpath = os.path.join(manifest_dir, part + ".json")
         pdir = os.path.join(data_dir, part)
         tmp = os.path.join(data_dir, "." + part + ".tmp")
-        if os.path.exists(tmp):
-            import shutil
+        import shutil
 
+        if os.path.exists(tmp):
             shutil.rmtree(tmp)
         ds = read_transcripts(chunk)
         ds = extract_ds(
@@ -397,15 +410,45 @@ def run_extraction(
         )
         ds.write_parquet(tmp)
         if os.path.exists(pdir):
-            import shutil
-
             shutil.rmtree(pdir)
         os.rename(tmp, pdir)
         rec = _chunk_lineage(pdir, chunk)
         with open(mpath + ".tmp", "w") as fh:
             json.dump(rec, fh)
         os.rename(mpath + ".tmp", mpath)
-        summary["rows"] += rec["rows"]
+        return rec["rows"]
+
+    if max_in_flight <= 1 or len(jobs) <= 1:
+        for ci, chunk in jobs:
+            summary["rows"] += process(ci, chunk)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        # Ray's write path probes `fsspec.implementations.http` per
+        # write. When aiohttp is absent that import FAILS, Python
+        # evicts the partial module, and every thread re-attempts it —
+        # two concurrent attempts race into a non-ModuleNotFoundError
+        # ImportError that Ray's probe doesn't catch. Register a stub
+        # module with an HTTPFileSystem sentinel class once: the probe
+        # then succeeds and its isinstance check is correctly False
+        # for real filesystems.
+        try:
+            from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+        except ModuleNotFoundError:
+            import sys as _sys
+            import types as _types
+
+            _stub = _types.ModuleType("fsspec.implementations.http")
+
+            class _HTTPFileSystemSentinel:
+                pass
+
+            _stub.HTTPFileSystem = _HTTPFileSystemSentinel
+            _sys.modules["fsspec.implementations.http"] = _stub
+
+        with ThreadPoolExecutor(max_workers=max_in_flight) as pool:
+            for rows in pool.map(lambda j: process(*j), jobs):
+                summary["rows"] += rows
     return summary
 
 
