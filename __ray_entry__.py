@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-turn text equality gate)
         "extract_turns": transcripts_ops.extract_turns,
         "extract_turns_text": transcripts_ops.extract_turns_text,
+        "extract_links": transcripts_ops.extract_links,
         "extract_markdown": transcripts_ops.extract_markdown,
         "extraction_log_summary": transcripts_ops.extraction_log_summary,
         "validate_extraction": transcripts_ops.validate_extraction,
@@ -138,6 +139,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, clean_text AS extracted_text
             FROM read_parquet('{g}')
             ORDER BY conv_id, turn_idx
+        """,
+        "extract_links": f"""
+            SELECT conv_id, turn_idx,
+                   unnest(regexp_extract_all(text, 'href="([^"]*)"', 1)) AS url
+            FROM read_parquet('{t}')
+            ORDER BY conv_id, turn_idx, url
         """,
         "turns_per_conversation": f"""
             SELECT conv_id,

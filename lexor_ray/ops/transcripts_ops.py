@@ -67,6 +67,41 @@ def extract_turns_text(sf_dir: str):
     return stable_order(out.map_batches(project, batch_format="pyarrow"))
 
 
+def extract_links(sf_dir: str):
+    """Link extraction from markup (the link-graph step of a web
+    pipeline): every ``href="..."`` value per turn, exploded to
+    (conv_id, turn_idx, url) rows. Vectorized with the pandas
+    ``str.extractall`` kernel; DuckDB oracle via
+    ``regexp_extract_all`` + unnest."""
+    import pandas as pd
+
+    src = transcripts_for(sf_dir)
+    ds = read_transcripts(src)
+
+    def links(batch: pd.DataFrame) -> pd.DataFrame:
+        ex = batch["text"].str.extractall(r'href="([^"]*)"')
+        if len(ex) == 0:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series([], dtype=object),
+                    "turn_idx": pd.Series([], dtype="int64"),
+                    "url": pd.Series([], dtype=object),
+                }
+            )
+        rows = ex.index.get_level_values(0)
+        return pd.DataFrame(
+            {
+                "conv_id": batch["conv_id"].loc[rows].to_numpy(),
+                "turn_idx": batch["turn_idx"].loc[rows].to_numpy().astype("int64"),
+                "url": ex[0].to_numpy(),
+            }
+        )
+
+    return ds.map_batches(links, batch_format="pandas").sort(
+        ["conv_id", "turn_idx", "url"]
+    )
+
+
 def extraction_log_summary(sf_dir: str):
     """Log analytics (SURVEY.md §2.5 A1 as a dataset op): flatten the
     per-row log column and roll up counts per message code."""
