@@ -15,13 +15,19 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-#: transcripts parquet path for the sf the driver checks at — DuckDB's
-#: oracle reads the same deterministic files the Ray queries read.
-_SF001_TRANSCRIPTS = "/tmp/lexor_ray_data/sf0.01/transcripts/*.parquet"
+import os as _os
+
+#: the sf whose transcripts the oracle SQL reads — the driver checks
+#: at sf0.01; LEXOR_RAY_ORACLE_SF lets tools/check_correctness.py run
+#: the same gate at any other scale locally.
+_ORACLE_SF = _os.environ.get("LEXOR_RAY_ORACLE_SF", "0.01")
+#: transcripts parquet path for that sf — DuckDB's oracle reads the
+#: same deterministic files the Ray queries read.
+_SF001_TRANSCRIPTS = f"/tmp/lexor_ray_data/sf{_ORACLE_SF}/transcripts/*.parquet"
 #: generation-time golden (conv_id, turn_idx, clean_text): the
 #: expected extraction output, composed independently of any parser
 #: when the synthetic transcripts are generated (transcripts.py).
-_SF001_GOLDEN = "/tmp/lexor_ray_data/sf0.01/golden/*.parquet"
+_SF001_GOLDEN = f"/tmp/lexor_ray_data/sf{_ORACLE_SF}/golden/*.parquet"
 
 
 def entry() -> Any:
@@ -126,7 +132,7 @@ def oracle_sql() -> dict[str, str]:
     try:
         from lexor_ray.transcripts import transcripts_dir
 
-        transcripts_dir(0.01)
+        transcripts_dir(float(_ORACLE_SF))
     except Exception:
         pass
     t = _SF001_TRANSCRIPTS

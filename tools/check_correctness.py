@@ -54,6 +54,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # point the oracle SQL's transcripts/golden paths at this sf
+    # (must be set BEFORE __ray_entry__ is imported)
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    if m:
+        os.environ["LEXOR_RAY_ORACLE_SF"] = m.group(1)
     import ray
 
     ray.init(
