@@ -13,6 +13,7 @@ what a real decoder would produce.
 from __future__ import annotations
 
 import hashlib
+import struct
 import zlib
 
 import numpy as np
@@ -21,30 +22,78 @@ import pyarrow as pa
 from .util import tbl
 
 
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Minimal 24-bit uncompressed BMP encoder (public format:
+    BITMAPFILEHEADER + BITMAPINFOHEADER, BGR rows bottom-up, rows
+    padded to 4 bytes). ``pixels`` is (h, w, 3) uint8 RGB."""
+    h, w, _ = pixels.shape
+    row_raw = w * 3
+    pad = (4 - row_raw % 4) % 4
+    img_size = (row_raw + pad) * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    bgr = pixels[::-1, :, ::-1]  # bottom-up rows, RGB→BGR
+    if pad:
+        rows = np.zeros((h, row_raw + pad), dtype=np.uint8)
+        rows[:, :row_raw] = bgr.reshape(h, row_raw)
+        body = rows.tobytes()
+    else:
+        body = bgr.tobytes()
+    return header + info + body
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Real decode of a 24-bit uncompressed BMP → (h, w, 3) uint8 RGB.
+    Pure struct + numpy — no image library needed; raises ValueError
+    on anything that isn't a plain 24bpp BMP."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if hdr_size < 40 or bpp != 24 or compression != 0 or h <= 0 or w <= 0:
+        raise ValueError("unsupported BMP variant")
+    row_raw = w * 3
+    stride = (row_raw + 3) & ~3
+    body = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = body.reshape(h, stride)[:, :row_raw].reshape(h, w, 3)
+    return rows[::-1, :, ::-1]  # bottom-up → top-down, BGR→RGB
+
+
 def synthesize_media(sf_dir: str):
     """Derive a deterministic binary 'media' column from documents:
-    payload = a seeded pseudo-image (bytes derived from the text) +
-    typed metadata columns (media_type, width, height). Stands in for
-    a real `(doc_id, payload, meta)` media table."""
+    payload + typed metadata columns (media_type, width, height).
+    Every fifth document carries a REAL 24-bit BMP (a format decodable
+    with pure numpy — see :func:`decode_bmp`); the rest carry the
+    seeded pseudo-image bytes. Stands in for a real
+    `(doc_id, payload, meta)` media table with mixed codecs."""
     ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
     def make(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        payloads, widths, heights = [], [], []
-        for i, t in zip(ids, texts):
+        payloads, types, widths, heights = [], [], [], []
+        for i in ids:
             seed = hashlib.blake2b(f"{i}".encode(), digest_size=8).digest()
             rng = np.random.default_rng(int.from_bytes(seed, "big"))
             w = int(8 + (i % 8))
             h = int(8 + (i % 5))
-            payloads.append(rng.integers(0, 256, w * h, dtype=np.uint8).tobytes())
+            if i % 5 == 0:
+                pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                payloads.append(encode_bmp(pix))
+                types.append("image/bmp")
+            else:
+                payloads.append(
+                    rng.integers(0, 256, w * h, dtype=np.uint8).tobytes()
+                )
+                types.append("image/fake")
             widths.append(w)
             heights.append(h)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "payload": pa.array(payloads, type=pa.binary()),
-                "media_type": pa.array(["image/fake"] * len(ids)),
+                "media_type": pa.array(types),
                 "width": pa.array(widths, type=pa.int32()),
                 "height": pa.array(heights, type=pa.int32()),
             }
@@ -54,19 +103,32 @@ def synthesize_media(sf_dir: str):
 
 
 class StubDecoder:
-    """STUB: a real deployment would decode the payload with an image
-    library here (PIL/opencv are not in this container). The stub
-    'decodes' deterministically: mean/std over raw bytes + a CRC — the
-    actor signature, batch sizing and output schema are the real
-    contract. Raises NotImplementedError for media types a real
-    decoder wouldn't fake."""
+    """Mixed-codec decoder stage. ``image/bmp`` payloads get a REAL
+    decode (:func:`decode_bmp` — pure struct+numpy, no image library)
+    to an (h, w, 3) pixel array whose statistics become the features.
+    ``image/fake`` payloads keep the honest stub (mean/std over raw
+    bytes — PIL/opencv are not in this container for JPEG-class
+    formats). Either way the actor signature, batch sizing and output
+    schema are the production contract. Raises NotImplementedError for
+    media types neither path handles."""
 
-    REAL_DECODE = False
+    REAL_DECODE = ("image/bmp",)
 
     def __init__(self, feature_dim: int = 4) -> None:
         self.feature_dim = feature_dim
 
     def decode_features(self, payload: bytes, media_type: str) -> np.ndarray:
+        if media_type == "image/bmp":
+            pix = decode_bmp(payload)  # real decode
+            return np.array(
+                [
+                    float(pix.mean()),
+                    float(pix.std()),
+                    float(pix.shape[0] * pix.shape[1]),
+                    float(zlib.crc32(payload) % 1_000_000),
+                ],
+                dtype=np.float32,
+            )
         if media_type not in ("image/fake",):
             raise NotImplementedError(
                 f"no codec for {media_type!r} in this environment"
@@ -163,12 +225,16 @@ def resize_media(sf_dir: str, out_w: int = 4, out_h: int = 4):
 
     def resize(batch: pa.Table) -> pa.Table:
         payloads, sums = [], []
-        for p, w, h in zip(
+        for p, m, w, h in zip(
             batch.column("payload").to_pylist(),
+            batch.column("media_type").to_pylist(),
             batch.column("width").to_pylist(),
             batch.column("height").to_pylist(),
         ):
-            img = np.frombuffer(p, dtype=np.uint8).reshape(h, w)
+            if m == "image/bmp":
+                img = decode_bmp(p)  # (h, w, 3) — real decode
+            else:
+                img = np.frombuffer(p, dtype=np.uint8).reshape(h, w)
             yi = (np.arange(out_h) * h) // out_h
             xi = (np.arange(out_w) * w) // out_w
             small = img[np.ix_(yi, xi)]

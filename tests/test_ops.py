@@ -196,8 +196,29 @@ def test_resize_media_shape(ray_session):
     from lexor_ray.ops.multimodal import resize_media
 
     got = df(resize_media(SF))
-    assert (got["resized"].map(len) == 16).all()
+    # fake payloads downsample to 4x4 single-channel (16 bytes);
+    # real BMP docs (doc_id % 5 == 0) to 4x4 RGB (48 bytes)
+    sizes = got["resized"].map(len)
+    is_bmp = (got["doc_id"] % 5 == 0)
+    assert (sizes[is_bmp] == 48).all()
+    assert (sizes[~is_bmp] == 16).all()
     assert (got["checksum"] >= 0).all()
+
+
+def test_bmp_roundtrip_and_real_decode(ray_session):
+    """encode_bmp → decode_bmp is the identity, and the decoder stage
+    REALLY decodes BMP payloads (features computed from pixels, not
+    raw container bytes)."""
+    from lexor_ray.ops.multimodal import StubDecoder, decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(7)
+    pix = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)  # odd width → padding
+    data = encode_bmp(pix)
+    back = decode_bmp(data)
+    assert (back == pix).all()
+    feats = StubDecoder().decode_features(data, "image/bmp")
+    assert abs(feats[0] - pix.mean()) < 1e-3
+    assert feats[2] == 9 * 13
 
 
 def test_lsh_ann_recall(ray_session):
