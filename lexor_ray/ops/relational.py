@@ -81,11 +81,18 @@ def q3_top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     a hash-partitioned ``Dataset.join``."""
     import ray
 
-    cust = tbl(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    keys = pa.array(
-        sorted(cust.loc[cust["c_mktsegment"] == segment, "c_custkey"].tolist()),
-        type=pa.int64(),
+    def segment_keys(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.equal(batch["c_mktsegment"], segment))
+        return keep.select(["c_custkey"])
+
+    # segment filter runs distributed; only the compact key column of
+    # ONE segment is collected for the broadcast semi-join
+    cust_keys = (
+        tbl(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .map_batches(segment_keys, batch_format="pyarrow")
+        .to_pandas()
     )
+    keys = pa.array(np.sort(cust_keys["c_custkey"].to_numpy()), type=pa.int64())
     keys_ref = ray.put(keys)
 
     def filter_orders(batch: pa.Table) -> pa.Table:
