@@ -146,6 +146,22 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{g}')
             ORDER BY conv_id, turn_idx
         """,
+        # diagnostic-code roll-up vs the generation-time expected
+        # counts (each injected malformation shape contributes exactly
+        # one code regardless of nesting — see transcripts._make_text)
+        "extraction_log_summary": f"""
+            WITH c AS (
+                SELECT 'E100' AS code, CAST(sum(n_e100) AS BIGINT) AS n_msgs
+                FROM read_parquet('{g}')
+                UNION ALL
+                SELECT 'W100', CAST(sum(n_w100) AS BIGINT)
+                FROM read_parquet('{g}')
+                UNION ALL
+                SELECT 'W101', CAST(sum(n_w101) AS BIGINT)
+                FROM read_parquet('{g}')
+            )
+            SELECT code, n_msgs FROM c WHERE n_msgs > 0 ORDER BY code
+        """,
         "extract_links": f"""
             SELECT conv_id, turn_idx,
                    unnest(regexp_extract_all(text, 'href="([^"]*)"', 1)) AS url

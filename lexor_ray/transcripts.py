@@ -46,9 +46,10 @@ def _sentence(rng: np.random.Generator, lo: int = 4, hi: int = 14) -> str:
     return " ".join(_WORDS[i] for i in idx)
 
 
-def _make_text(rng: np.random.Generator) -> tuple[str, str]:
+def _make_text(rng: np.random.Generator):
     """One turn's text: a deterministic random HTML-ish document,
-    PLUS the golden main-content text an extractor must recover.
+    PLUS the golden main-content text an extractor must recover,
+    PLUS the expected diagnostic-code counts (n_e100, n_w100, n_w101).
 
     The golden string is composed alongside the markup from the same
     source sentences — an independent derivation of the expected
@@ -58,13 +59,23 @@ def _make_text(rng: np.random.Generator) -> tuple[str, str]:
     Composition rules mirror the documented html-text semantics:
     markup stripped, entities decoded, comments/doctype/script/style/
     PI/img and class-based boilerplate contribute nothing, top-level
-    parts joined by the literal newline text nodes between them."""
+    parts joined by the literal newline text nodes between them.
+
+    The code counts are compositional because each injected shape
+    contributes exactly one diagnostic regardless of nesting
+    (verified empirically against the engine): an unclosed part's tag
+    stays open to EOF → one E100 (later parts merely nest inside it;
+    there is no p-in-p auto-close); a W100-shape part's own close tag
+    resolves innermost-first, sweeping exactly its one open span; the
+    stray ``</em>`` never matches an open em (all generated em's are
+    closed) → one W101."""
     kind = rng.random()
     if kind < 0.30:  # plain text — fast path
         s = _sentence(rng, 6, 40)
-        return s, s
+        return s, s, (0, 0, 0)
     parts: list[str] = []
     clean: list[str] = []
+    n_e100 = n_w100 = n_w101 = 0
     if rng.random() < 0.05:
         parts.append("<!DOCTYPE html>")
         clean.append("")
@@ -103,10 +114,13 @@ def _make_text(rng: np.random.Generator) -> tuple[str, str]:
         shape = rng.random()
         if shape < 0.05:  # unclosed at EOF -> E100
             parts.append(f"<{tag}>{inner}")
+            n_e100 += 1
         elif shape < 0.10:  # inner left open, outer closes -> W100
             parts.append(f"<{tag}><span>{inner}</{tag}>")
+            n_w100 += 1
         elif shape < 0.13:  # stray close tag -> W101
             parts.append(f"<{tag}>{inner}</{tag}></em>")
+            n_w101 += 1
         else:
             parts.append(f"<{tag}>{inner}</{tag}>")
         clean.append(inner_clean)
@@ -128,11 +142,11 @@ def _make_text(rng: np.random.Generator) -> tuple[str, str]:
         dump = " ".join([_sentence(rng, 8, 16)] * 2500)
         parts.append("<pre>" + dump + "</pre>")
         clean.append(dump)
-    return "\n".join(parts), "\n".join(clean)
+    return "\n".join(parts), "\n".join(clean), (n_e100, n_w100, n_w101)
 
 
 #: bump when generation logic changes — invalidates cached dirs
-GEN_VERSION = "v5"
+GEN_VERSION = "v6"
 
 #: turns per generation chunk: content is a pure function of
 #: (seed, chunk_index), so chunks can be generated in parallel (Ray
@@ -162,6 +176,7 @@ def generate_transcripts(
     roles: list[str] = []
     texts: list[str] = []
     cleans: list[str] = []
+    codes: list[tuple] = []
     tools: list[str] = []
     ts: list[int] = []
     base_ts = 1_700_000_000_000_000  # us epoch, fixed
@@ -177,9 +192,10 @@ def generate_transcripts(
             turn_idx.append(i)
             role = _ROLES[2] if rng.random() < 0.15 else _ROLES[i % 2]
             roles.append(role)
-            text, clean = _make_text(rng)
+            text, clean, code = _make_text(rng)
             texts.append(text)
             cleans.append(clean)
+            codes.append(code)
             tools.append(
                 _TOOLS[int(rng.integers(0, len(_TOOLS)))] if role == "tool" else ""
             )
@@ -207,6 +223,9 @@ def generate_transcripts(
             "conv_id": pa.array(conv_ids, type=pa.string()),
             "turn_idx": pa.array(turn_idx, type=pa.int32()),
             "clean_text": pa.array(cleans, type=pa.string()),
+            "n_e100": pa.array([c[0] for c in codes], type=pa.int32()),
+            "n_w100": pa.array([c[1] for c in codes], type=pa.int32()),
+            "n_w101": pa.array([c[2] for c in codes], type=pa.int32()),
         }
     )
     return tbl, golden

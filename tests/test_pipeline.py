@@ -193,3 +193,37 @@ def test_rerun_is_idempotent(ray_session, small_dir, tmp_path):
     s2 = run_extraction(small_dir, out_dir, files_per_chunk=2, concurrency=2)
     assert s2["chunks_skipped"] == s2["chunks_total"]
     assert s1["rows"] == s2["rows"]
+
+
+def test_golden_log_codes_match_engine():
+    """The generation-time diagnostic-code counts must equal what the
+    engine actually logs per turn (the compositional-contribution
+    claim behind the extraction_log_summary oracle)."""
+    from collections import Counter
+
+    from lexor_ray.extract import extract_one
+    from lexor_ray.transcripts import generate_transcripts
+
+    tbl, golden = generate_transcripts(1500, seed=11, with_golden=True)
+    gm = {
+        (c, i): (e, w, s)
+        for c, i, e, w, s in zip(
+            golden["conv_id"].to_pylist(),
+            golden["turn_idx"].to_pylist(),
+            golden["n_e100"].to_pylist(),
+            golden["n_w100"].to_pylist(),
+            golden["n_w101"].to_pylist(),
+        )
+    }
+    for c, i, t in zip(
+        tbl["conv_id"].to_pylist(),
+        tbl["turn_idx"].to_pylist(),
+        tbl["text"].to_pylist(),
+    ):
+        got = Counter(l["code"] for l in extract_one(t)["log"])
+        assert (
+            got.get("E100", 0),
+            got.get("W100", 0),
+            got.get("W101", 0),
+        ) == gm[(c, i)], (c, i, t[:80])
+        assert set(got) <= {"E100", "W100", "W101"}
