@@ -138,6 +138,18 @@ def oracle_sql() -> dict[str, str]:
     t = _SF001_TRANSCRIPTS
     g = _SF001_GOLDEN
     return {
+        # the FLAGSHIP, fully golden-gated: per-turn extracted text,
+        # span count and char count vs the generation-time golden
+        # (text AND expected span segmentation composed alongside the
+        # markup — transcripts._make_text; per-turn parity with the
+        # engine asserted over 8k turns in tests)
+        "extract_turns": f"""
+            SELECT conv_id, turn_idx, clean_text AS extracted_text,
+                   CAST(n_spans AS BIGINT) AS n_spans,
+                   CAST(length(clean_text) AS BIGINT) AS n_extracted_chars
+            FROM read_parquet('{g}')
+            ORDER BY conv_id, turn_idx
+        """,
         # north-rule gate: per-turn extracted text == the golden text
         # composed at generation time (no parser involved on the
         # oracle side — see transcripts._make_text)

@@ -19,9 +19,11 @@ from .util import tbl  # noqa: F401  (symmetry with other ops modules)
 
 def extract_turns(sf_dir: str):
     """The flagship: extracted text + spans per turn under stable
-    ordering. Non-SQL-expressible (HTML parse) → rows-only check;
-    byte-equality vs the single-process oracle is asserted in
-    tests/test_pipeline.py."""
+    ordering — fully DRIVER-ORACLE-CHECKED against the generation-time
+    golden table (expected text, span-segment count and char count are
+    composed alongside the markup before any parser runs;
+    ``transcripts._make_text``). Byte-equality vs the single-process
+    path is additionally asserted in tests/test_pipeline.py."""
     src = transcripts_for(sf_dir)
     ds = read_transcripts(src)
     out = extract_ds(ds, batch_size=512)

@@ -72,44 +72,63 @@ def _make_text(rng: np.random.Generator):
     kind = rng.random()
     if kind < 0.30:  # plain text — fast path
         s = _sentence(rng, 6, 40)
-        return s, s, (0, 0, 0)
+        return s, s, (0, 0, 0, 1)
     parts: list[str] = []
     clean: list[str] = []
+    segs: list[int] = []  # emitted text-span segments per part
+    text_tail: list[bool] = []  # part's SOURCE ends in emitted text
     n_e100 = n_w100 = n_w101 = 0
     if rng.random() < 0.05:
         parts.append("<!DOCTYPE html>")
         clean.append("")
+        segs.append(0)
+        text_tail.append(False)
     if rng.random() < 0.10:
         parts.append(f"<!-- {_sentence(rng, 2, 6)} -->")
         clean.append("")
+        segs.append(0)
+        text_tail.append(False)
     if rng.random() < 0.12:
         parts.append(f"<script>var x = {int(rng.integers(0, 999))};</script>")
         clean.append("")
+        segs.append(0)
+        text_tail.append(False)
     if rng.random() < 0.08:
         parts.append(f"<style>.c{int(rng.integers(0,99))} {{color: red}}</style>")
         clean.append("")
+        segs.append(0)
+        text_tail.append(False)
     n_paras = int(rng.integers(1, 5))
     for _ in range(n_paras):
         inner = _sentence(rng)
         inner_clean = inner
+        inner_segs = 1
+        ends_in_text = True  # deco none and bold leave a raw text tail
         deco = rng.random()
         if deco < 0.25:
             s1, s2 = _sentence(rng, 1, 4), _sentence(rng, 1, 6)
             inner = f"{inner} <b>{s1}</b> {s2}"
             inner_clean = f"{inner_clean} {s1} {s2}"
+            inner_segs = 3
         elif deco < 0.40:
             href = int(rng.integers(0, 999))
             s1 = _sentence(rng, 1, 3)
             inner = f'{inner} <a href="http://example.com/{href}">{s1}</a>'
             inner_clean = f"{inner_clean} {s1}"
+            inner_segs = 2
+            ends_in_text = False  # </a> tail
         elif deco < 0.50:
             s1 = _sentence(rng, 1, 4)
             inner = f"{inner} &amp; {s1} &lt;ok&gt;"
             inner_clean = f"{inner_clean} & {s1} <ok>"
+            inner_segs = 6  # text, &amp;, text, &lt;, 'ok', &gt;
+            ends_in_text = False  # entity tail (entities never coalesce)
         elif deco < 0.58:
             s1 = _sentence(rng, 1, 3)
             inner = f"{inner} <i>{s1} <em>deep</em></i>"
             inner_clean = f"{inner_clean} {s1} deep"
+            inner_segs = 3
+            ends_in_text = False  # </i> tail
         tag = ["p", "div", "section", "blockquote"][int(rng.integers(0, 4))]
         shape = rng.random()
         if shape < 0.05:  # unclosed at EOF -> E100
@@ -124,29 +143,50 @@ def _make_text(rng: np.random.Generator):
         else:
             parts.append(f"<{tag}>{inner}</{tag}>")
         clean.append(inner_clean)
+        segs.append(inner_segs)
+        # only the UNCLOSED shape exposes the inner tail to the
+        # following separator (every other shape ends with a tag)
+        text_tail.append(shape < 0.05 and ends_in_text)
     if rng.random() < 0.15:
         sents = [_sentence(rng, 1, 5) for _ in range(int(rng.integers(2, 5)))]
         parts.append("<ul>" + "".join(f"<li>{s}</li>" for s in sents) + "</ul>")
         clean.append("".join(sents))
+        segs.append(len(sents))
+        text_tail.append(False)
     if rng.random() < 0.10:
         parts.append(f'<img src="x{int(rng.integers(0,99))}.png" alt="{_sentence(rng,1,3)}">')
         clean.append("")
+        segs.append(0)
+        text_tail.append(False)
     if rng.random() < 0.04:
         parts.append(f"<?pi {_sentence(rng, 1, 3)} ?>")
         clean.append("")
+        segs.append(0)
+        text_tail.append(False)
     if rng.random() < 0.06:  # class-based boilerplate (F2)
         cls = ["ad", "banner", "sidebar", "cookie-notice"][int(rng.integers(0, 4))]
         parts.append(f'<div class="{cls} wide">{_sentence(rng, 3, 8)}</div>')
         clean.append("")
+        segs.append(0)
+        text_tail.append(False)
     if rng.random() < 0.001:  # rare huge tool dump (heavy-tail skew)
         dump = " ".join([_sentence(rng, 8, 16)] * 2500)
         parts.append("<pre>" + dump + "</pre>")
         clean.append(dump)
-    return "\n".join(parts), "\n".join(clean), (n_e100, n_w100, n_w101)
+        segs.append(1)
+        text_tail.append(False)
+    # each inter-part newline separator is its own emitted text span —
+    # EXCEPT when the preceding part's source ends in emitted text
+    # (unclosed shape, raw-text tail): that tail and the separator are
+    # source-contiguous and coalesce into one span (verified against
+    # the engine in tests)
+    merged = sum(1 for j, f in enumerate(text_tail) if f and j < len(parts) - 1)
+    n_spans = sum(segs) + max(0, len(parts) - 1) - merged
+    return "\n".join(parts), "\n".join(clean), (n_e100, n_w100, n_w101, n_spans)
 
 
 #: bump when generation logic changes — invalidates cached dirs
-GEN_VERSION = "v6"
+GEN_VERSION = "v7"
 
 #: turns per generation chunk: content is a pure function of
 #: (seed, chunk_index), so chunks can be generated in parallel (Ray
@@ -226,6 +266,7 @@ def generate_transcripts(
             "n_e100": pa.array([c[0] for c in codes], type=pa.int32()),
             "n_w100": pa.array([c[1] for c in codes], type=pa.int32()),
             "n_w101": pa.array([c[2] for c in codes], type=pa.int32()),
+            "n_spans": pa.array([c[3] for c in codes], type=pa.int32()),
         }
     )
     return tbl, golden

@@ -215,15 +215,25 @@ def test_golden_log_codes_match_engine():
             golden["n_w101"].to_pylist(),
         )
     }
+    sm = {
+        (c, i): n
+        for c, i, n in zip(
+            golden["conv_id"].to_pylist(),
+            golden["turn_idx"].to_pylist(),
+            golden["n_spans"].to_pylist(),
+        )
+    }
     for c, i, t in zip(
         tbl["conv_id"].to_pylist(),
         tbl["turn_idx"].to_pylist(),
         tbl["text"].to_pylist(),
     ):
-        got = Counter(l["code"] for l in extract_one(t)["log"])
+        res = extract_one(t)
+        got = Counter(l["code"] for l in res["log"])
         assert (
             got.get("E100", 0),
             got.get("W100", 0),
             got.get("W101", 0),
         ) == gm[(c, i)], (c, i, t[:80])
         assert set(got) <= {"E100", "W100", "W101"}
+        assert len(res["spans"]) == sm[(c, i)], (c, i, t[:80])
