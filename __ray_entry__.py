@@ -158,6 +158,14 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{g}')
             ORDER BY conv_id, turn_idx
         """,
+        # the span-invariant QA's EXPECTED result: every turn checked,
+        # zero violations — a driver-enforced assertion that the
+        # distributed invariant check really passes end-to-end
+        "validate_extraction": f"""
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(0 AS BIGINT) AS n_violations
+            FROM read_parquet('{t}')
+        """,
         # diagnostic-code roll-up vs the generation-time expected
         # counts (each injected malformation shape contributes exactly
         # one code regardless of nesting — see transcripts._make_text)
