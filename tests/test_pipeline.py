@@ -237,3 +237,39 @@ def test_golden_log_codes_match_engine():
         ) == gm[(c, i)], (c, i, t[:80])
         assert set(got) <= {"E100", "W100", "W101"}
         assert len(res["spans"]) == sm[(c, i)], (c, i, t[:80])
+
+
+def test_run_extraction_concurrent_chunks(ray_session, small_dir, tmp_path):
+    """Overlapped chunk pipelines (max_in_flight=4) produce the same
+    output as sequential, and resume under concurrency still skips
+    exactly the finished chunks."""
+    import pyarrow.dataset as pads
+
+    seq_dir = str(tmp_path / "seq")
+    con_dir = str(tmp_path / "con")
+    s1 = run_extraction(small_dir, seq_dir, files_per_chunk=1, max_in_flight=1)
+    s2 = run_extraction(small_dir, con_dir, files_per_chunk=1, max_in_flight=4)
+    assert s2["rows"] == s1["rows"] and s2["chunks_total"] == s1["chunks_total"]
+    a = (
+        pads.dataset(os.path.join(seq_dir, "data"), format="parquet")
+        .to_table(columns=["conv_id", "turn_idx", "extracted_text"])
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    b = (
+        pads.dataset(os.path.join(con_dir, "data"), format="parquet")
+        .to_table(columns=["conv_id", "turn_idx", "extracted_text"])
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    # kill one chunk, rerun concurrently → exactly that chunk redone
+    parts = sorted(os.listdir(os.path.join(con_dir, "manifest")))
+    victim = parts[1]
+    os.remove(os.path.join(con_dir, "manifest", victim))
+    shutil.rmtree(os.path.join(con_dir, "data", victim[: -len(".json")]))
+    s3 = run_extraction(small_dir, con_dir, files_per_chunk=1, max_in_flight=4)
+    assert s3["chunks_skipped"] == s3["chunks_total"] - 1
+    assert s3["rows"] == s1["rows"]
