@@ -73,33 +73,117 @@ def _minhash_params(num_perm: int, seed: int = 7):
     return a, b
 
 
-def _shingles(text: str, k: int = 3) -> np.ndarray:
-    """Word k-shingle hashes (uint64) — hashed with pandas'
-    deterministic vectorized SipHash (``pd.util.hash_array``), not a
-    per-shingle Python digest (C-speed; same result on every worker)."""
-    words = (text or "").split()
-    if len(words) < k:
-        grams = [" ".join(words)] if words else []
-    else:
-        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    if not grams:
-        return np.empty(0, dtype=np.uint64)
-    return pd.util.hash_array(np.asarray(grams, dtype=object))
+#: odd 64-bit mixing constants (splitmix64 increments) combining the k
+#: word hashes of a shingle into one shingle hash — replaces the old
+#: per-gram ``" ".join`` + string hash with pure uint64 arithmetic
+#: over ONE vectorized word-hash pass (round-2 verdict item 4: the
+#: per-doc Python shingle loop dominated minhash_dedup's wall time).
+_GRAM_MIX = np.array(
+    [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB,
+     0xD6E8FEB86659FD93, 0xA5A5A5A5A5A5A5A5, 0xC2B2AE3D27D4EB4F,
+     0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+_U64_MAX = np.iinfo(np.uint64).max
 
 
-def _minhash_sig(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    if len(sh) == 0:
-        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
-    # (n_sh, n_perm) permuted hashes — vectorized; uint64 wraparound
-    # is intentional modular arithmetic
+def _batch_word_hashes(text_col, k: int):
+    """Vectorized tokenize+hash for a whole Arrow batch: ONE
+    ``utf8_split_whitespace`` kernel, ONE ``pd.util.hash_array`` pass
+    over the flat word array. Returns ``(wh, doc_of, lens)`` — uint64
+    word hashes in document order, each word's document index, and the
+    per-document word counts."""
+    lists = pc.utf8_split_whitespace(
+        pc.fill_null(text_col, "")
+    ).combine_chunks()
+    n = len(lists)
+    offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = lists.flatten()
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+    # the arrow kernel emits empty tokens at leading/trailing
+    # whitespace (unlike str.split) — drop them vectorized
+    nonempty = np.asarray(pc.greater(pc.utf8_length(flat), 0))
+    words = flat.to_numpy(zero_copy_only=False)
+    if not nonempty.all():
+        words = words[nonempty]
+        doc_of = doc_of[nonempty]
+    wh = (
+        pd.util.hash_array(words).astype(np.uint64)
+        if len(words)
+        else np.empty(0, dtype=np.uint64)
+    )
+    lens = np.bincount(doc_of, minlength=n).astype(np.int64)
+    return wh, doc_of, lens
+
+
+def _batch_minhash_sigs(
+    text_col, k: int, a: np.ndarray, b: np.ndarray, chunk_grams: int = 1 << 16
+) -> np.ndarray:
+    """(n_docs, num_perm) MinHash signatures for a whole batch with no
+    per-document Python loop: shingle hashes are mixes of k word
+    hashes (``_GRAM_MIX``), the permutation transform runs over flat
+    gram chunks (bounded transient: chunk_grams × num_perm × 8 B), and
+    per-document minima come from ``np.minimum.reduceat`` segment
+    reduction. Documents with no words keep the U64_MAX sentinel
+    (same contract as the old per-doc path)."""
+    wh, doc_of, lens = _batch_word_hashes(text_col, k)
+    n = len(lens)
+    P = len(a)
+    sigs = np.full((n, P), _U64_MAX, dtype=np.uint64)
+    W = len(wh)
+    mix = _GRAM_MIX[:k]
     with np.errstate(over="ignore"):
-        vals = (sh[:, None] * a[None, :] + b[None, :]) % _MERSENNE
-    return vals.min(axis=0)
+        # main grams: every window of k words inside one document
+        if W >= k:
+            gh = np.zeros(W - k + 1, dtype=np.uint64)
+            for j in range(k):
+                gh += wh[j : W - k + 1 + j] * mix[j]
+            valid = doc_of[: W - k + 1] == doc_of[k - 1 :]
+            gh = gh[valid]
+            gram_doc = doc_of[: W - k + 1][valid]
+        else:
+            gh = np.empty(0, dtype=np.uint64)
+            gram_doc = np.empty(0, dtype=np.int64)
+        # short documents (0 < L < k): one gram mixing all L words
+        short = (lens > 0) & (lens < k)
+        if short.any():
+            sw = short[doc_of]  # mask over words, grouped by doc
+            pos = np.arange(W, dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(lens)])[:-1], lens
+            )
+            vals = wh[sw] * mix[pos[sw]]
+            sdoc = doc_of[sw]
+            starts = np.flatnonzero(np.r_[True, sdoc[1:] != sdoc[:-1]])
+            gh_short = np.add.reduceat(vals, starts)
+            short_docs = sdoc[starts]
+            svals = (gh_short[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+            sigs[short_docs] = svals
+        # chunked permute + segment minima for the main grams
+        if len(gh):
+            counts = np.bincount(gram_doc, minlength=n)
+            gdocs = np.flatnonzero(counts)
+            gcounts = counts[gdocs]
+            bounds = np.concatenate([[0], np.cumsum(gcounts)])
+            lo = 0
+            while lo < len(gdocs):
+                hi = lo
+                while hi < len(gdocs) and (
+                    bounds[hi + 1] - bounds[lo] <= chunk_grams or hi == lo
+                ):
+                    hi += 1
+                seg = gh[bounds[lo] : bounds[hi]]
+                vals = (seg[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+                rel = (bounds[lo:hi] - bounds[lo]).astype(np.int64)
+                sigs[gdocs[lo:hi]] = np.minimum.reduceat(vals, rel, axis=0)
+                lo = hi
+    return sigs
 
 
 class MinHashSignatures:
-    """Actor-pool stage: permutation params built once per actor
-    (SURVEY.md §2.7 pattern), signatures per batch."""
+    """Per-worker stage: permutation params built once per worker
+    (SURVEY.md §2.7 pattern), signatures per batch — fully batch-
+    vectorized (``_batch_minhash_sigs``), no per-document Python."""
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 3, bands: int = 16):
         self.a, self.b = _minhash_params(num_perm)
@@ -108,12 +192,9 @@ class MinHashSignatures:
         self.rows = num_perm // bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        n = len(texts)
-        sigs = np.empty((n, len(self.a)), dtype=np.uint64)
-        for i, text in enumerate(texts):
-            sigs[i] = _minhash_sig(_shingles(text, self.k), self.a, self.b)
+        n = batch.num_rows
+        sigs = _batch_minhash_sigs(batch.column("text"), self.k, self.a, self.b)
         # vectorized FNV-1a fold over each band's rows → one uint64
         # key per (doc, band); no per-doc Python hashing.
         prime = np.uint64(1099511628211)
@@ -168,6 +249,17 @@ def minhash_lsh_candidates(sf_dir: str, num_perm: int = 64, bands: int = 16):
     return coarse_dedup(cand, ["a", "b"])
 
 
+#: LSH bucket size above which pair expansion emits a STAR to the
+#: bucket's min doc_id instead of the full O(k²) triu — a
+#: duplicate-heavy corpus (the 100-TB tier) can put thousands of
+#: near-identical documents in one (band_id, band_hash) bucket, and
+#: the full expansion would OOM the worker and explode the candidate
+#: set. The star preserves connectivity for clustering (same strategy
+#: as the simhash clique_cap). Never triggers at test scale, so
+#: candidate sets stay exact there (asserted in tests).
+_BUCKET_STAR_CAP = 1024
+
+
 def _bucket_pair_expansion(bucket: pd.DataFrame) -> pd.DataFrame:
     """All (a, b) pairs within each (band_id, band_hash) fine group of
     a coarse bucket, with NO per-group Python call: rows are sorted
@@ -175,7 +267,9 @@ def _bucket_pair_expansion(bucket: pd.DataFrame) -> pd.DataFrame:
     pair-expanded with a single ``triu_indices`` per size class
     (LSH buckets are overwhelmingly size 2–3, so there are only a
     handful of classes). Per-group dispatch was the measured bottleneck
-    of the previous shape (BENCH/BASELINE.md crossover table)."""
+    of the previous shape (BENCH/BASELINE.md crossover table).
+    Groups larger than ``_BUCKET_STAR_CAP`` emit a min-doc_id star
+    (O(k) pairs, connectivity preserved) instead of the full triu."""
     empty = pd.DataFrame({"a": [], "b": []}).astype({"a": "int64", "b": "int64"})
     if len(bucket) == 0:
         return empty
@@ -196,6 +290,11 @@ def _bucket_pair_expansion(bucket: pd.DataFrame) -> pd.DataFrame:
             continue
         mask = sizes == s
         mat = ids[mask].reshape(-1, s)  # rows are sorted within group
+        if s > _BUCKET_STAR_CAP:
+            # star to the (sorted-first = min) doc_id per group
+            out_a.append(np.repeat(mat[:, 0], s - 1))
+            out_b.append(mat[:, 1:].reshape(-1))
+            continue
         ii, jj = np.triu_indices(s, k=1)
         out_a.append(mat[:, ii].reshape(-1))
         out_b.append(mat[:, jj].reshape(-1))
@@ -294,11 +393,36 @@ def _broadcast_pair_texts(cand, docs):
 #: measured-small broadcast tier to the bucketed distributed join
 _SMALL_PAIR_LIMIT = 200_000
 
+#: estimated BYTES of broadcast text above which the small tier is
+#: refused even when the pair COUNT is under _SMALL_PAIR_LIMIT — 200k
+#: pairs of 100 KB documents would be tens of GB of driver memory
+#: (ADVICE r2 fix: gate on bytes, not just count).
+_SMALL_BYTE_LIMIT = 256 * 1024 * 1024
+
+
+def _mean_text_bytes(sf_dir: str) -> float:
+    """Mean per-row uncompressed size of documents.text, from parquet
+    column-chunk metadata (no data read)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata
+    total = 0
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for c in range(g.num_columns):
+            col = g.column(c)
+            if col.path_in_schema == "text":
+                total += col.total_uncompressed_size
+    return total / max(1, md.num_rows)
+
 
 def _pairs_with_jaccard(sf_dir: str, threshold: float | None, small_limit=None):
     """Shared LSH-candidates → texts → Jaccard pipeline behind
     :func:`ngram_jaccard_pairs` and :func:`minhash_dedup`, with the
-    size-adaptive text-fetch tier choice."""
+    size-adaptive text-fetch tier choice (gated on measured pair COUNT
+    and estimated broadcast BYTES — mean text size × 2·n_pairs)."""
     if small_limit is None:
         small_limit = _SMALL_PAIR_LIMIT
     cand = minhash_lsh_candidates(sf_dir).materialize()
@@ -306,10 +430,14 @@ def _pairs_with_jaccard(sf_dir: str, threshold: float | None, small_limit=None):
     if n == 0:
         return _empty_pairs_table()
     docs = tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    small = n <= small_limit
+    if small and n > 0:
+        try:
+            small = _mean_text_bytes(sf_dir) * 2 * n <= _SMALL_BYTE_LIMIT
+        except Exception:
+            small = False  # unknown sizes → take the distributed tier
     joined = (
-        _broadcast_pair_texts(cand, docs)
-        if n <= small_limit
-        else _join_pair_texts(cand, docs)
+        _broadcast_pair_texts(cand, docs) if small else _join_pair_texts(cand, docs)
     )
     return _score_pairs(joined, threshold).sort(["a", "b"])
 
@@ -319,18 +447,26 @@ def _score_pairs(joined, threshold: float | None):
     optionally keep only pairs at/above ``threshold``."""
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
+        j = np.array(
+            [
+                jaccard(ta, tb)
+                for ta, tb in zip(batch["text_a"], batch["text_b"])
+            ],
+            dtype=np.float64,
+        )
         out = pd.DataFrame(
             {
                 "a": batch["a"].astype("int64"),
                 "b": batch["b"].astype("int64"),
-                "jaccard": [
-                    round(jaccard(ta, tb), 4)
-                    for ta, tb in zip(batch["text_a"], batch["text_b"])
-                ],
+                # floor-truncation, not round: bit-identical to the
+                # DuckDB oracle's floor(x*1e4)/1e4 (CLAUDE.md rule)
+                "jaccard": np.floor(j * 10000) / 10000,
             }
         )
         if threshold is not None:
-            out = out[out["jaccard"] >= threshold]
+            # threshold on the EXACT value (matches the oracle's
+            # WHERE inter/union >= t), floored only for display
+            out = out[j >= threshold]
         return out
 
     return joined.map_batches(score, batch_format="pandas")
@@ -406,7 +542,11 @@ def shingle_overlap_pairs(sf_dir: str, k: int = 3):
 
 
 def jaccard(a_text: str, b_text: str, k: int = 3) -> float:
-    sa, sb = set(_shingles(a_text, k).tolist()), set(_shingles(b_text, k).tolist())
+    """Exact word-shingle Jaccard over STRING shingle sets (not hashed
+    ones): integer set sizes → one IEEE division, bit-identical to the
+    DuckDB oracle's ``len(list_intersect(..)) / len(list_distinct(..))``
+    — a hash collision, however unlikely, would break that parity."""
+    sa, sb = _shingle_strings(a_text, k), _shingle_strings(b_text, k)
     if not sa and not sb:
         return 1.0
     if not sa or not sb:
@@ -737,6 +877,13 @@ def _rep_pairs(
     n = len(idx)
     if n < 2:
         return np.empty((0, 2), dtype=np.int64)
+    if max_hamming == 0:
+        # callers pass DISTINCT signatures, so no pair can be at
+        # Hamming distance 0 — and the generic split below would build
+        # np.concatenate([]) (ValueError) since array_split(rem, 1)
+        # yields a single part (ADVICE r2 fix; exact-dup cliques are
+        # emitted separately by simhash_bucket_pairs).
+        return np.empty((0, 2), dtype=np.int64)
     if n <= direct_cap or len(rem) <= max_hamming:
         ii, jj = np.triu_indices(n, k=1)
         ham = _popcount64(usig[idx[ii]] ^ usig[idx[jj]])
@@ -745,7 +892,10 @@ def _rep_pairs(
     parts = np.array_split(rem, max_hamming + 1)
     found = []
     for pi, sub in enumerate(parts):
-        rem2 = np.concatenate([p for qi, p in enumerate(parts) if qi != pi])
+        others = [p for qi, p in enumerate(parts) if qi != pi]
+        rem2 = (
+            np.concatenate(others) if others else np.empty(0, dtype=np.int64)
+        )
         keys = _bits_key(usig[idx], sub)
         order = np.argsort(keys, kind="stable")
         sorted_keys = keys[order]

@@ -251,6 +251,52 @@ def resize_media(sf_dir: str, out_w: int = 4, out_h: int = 4):
     return ds.map_batches(resize, batch_format="pyarrow", batch_size=64).sort("doc_id")
 
 
+def media_pipeline(sf_dir: str, frame_bytes: int = 16, every_k: int = 4,
+                   out_w: int = 4, out_h: int = 4):
+    """Fused decode → feature-extract → frame-sample → resize in ONE
+    scan, one row per document — the single driver-recorded entry for
+    the multimodal family (:func:`media_features`, :func:`frame_sample`
+    and :func:`resize_media` remain first-class ops with their own
+    tests; the driver's 50-entry window forces merged RECORDING, not
+    merged code). Emits (doc_id, n_bytes, feat_mean, n_frames_sampled,
+    resize_checksum)."""
+    ds = synthesize_media(sf_dir)
+    from .util import cached
+
+    def stage(batch: pa.Table) -> pa.Table:
+        dec = cached("stub-decoder", StubDecoder)
+        n_bytes, feat_mean, n_frames, checks = [], [], [], []
+        for p, m, w, h in zip(
+            batch.column("payload").to_pylist(),
+            batch.column("media_type").to_pylist(),
+            batch.column("width").to_pylist(),
+            batch.column("height").to_pylist(),
+        ):
+            n_bytes.append(len(p))
+            feat_mean.append(float(np.round(dec.decode_features(p, m)[0], 3)))
+            n_frames.append(len(range(0, len(p) // frame_bytes, every_k)))
+            if m == "image/bmp":
+                img = decode_bmp(p)
+            else:
+                img = np.frombuffer(p, dtype=np.uint8).reshape(h, w)
+            yi = (np.arange(out_h) * h) // out_h
+            xi = (np.arange(out_w) * w) // out_w
+            checks.append(int(img[np.ix_(yi, xi)].sum()))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bytes": pa.array(n_bytes, type=pa.int64()),
+                "feat_mean": pa.array(feat_mean, type=pa.float64()),
+                "n_frames_sampled": pa.array(n_frames, type=pa.int64()),
+                "resize_checksum": pa.array(checks, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow", batch_size=64).sort(
+        "doc_id"
+    )
+
+
 def media_byte_totals(sf_dir: str):
     """Scalar roll-up over the media table (SQL-checkable against the
     deterministic synthesis): doc_id, n_bytes = width*height."""

@@ -404,6 +404,44 @@ def ivf_ann_topk(
     )
 
 
+def ann_recall(sf_dir: str, n_queries: int = 10, k: int = 5, min_recall: float = 0.3):
+    """Driver-checkable recall bound for BOTH approximate ANN paths
+    (round-2 verdict item 9): per query and per algorithm, is
+    recall@k versus the exact :func:`brute_force_topk` at least
+    ``min_recall``?  The hash/quantizer families themselves are not
+    SQL-expressible, but this BOUND is — the oracle asserts
+    ``recall_ok = TRUE`` for every (algo, query) row, so a recall
+    regression in either index fails the driver gate (the raw recall
+    value itself cannot be a column — the SQL side could not reproduce
+    it, and the driver hash-compares every column).
+
+    All three top-k sets are tiny (n_queries × k rows) — collecting
+    them is driver-safe at any corpus scale."""
+    exact = brute_force_topk(sf_dir, n_queries=n_queries, k=k).to_pandas()
+    results = {
+        "lsh": lsh_ann_topk(sf_dir, n_queries=n_queries, k=k).to_pandas(),
+        "ivf": ivf_ann_topk(sf_dir, n_queries=n_queries, k=k).to_pandas(),
+    }
+    e_by_q = exact.groupby("query_id")["vec_id"].agg(set)
+    out_algo, out_q, out_ok = [], [], []
+    for algo in sorted(results):
+        approx = results[algo]
+        a_by_q = approx.groupby("query_id")["vec_id"].agg(set)
+        for qid, e_set in e_by_q.items():
+            a_set = a_by_q.get(qid, set())
+            r = len(e_set & a_set) / max(1, len(e_set))
+            out_algo.append(algo)
+            out_q.append(int(qid))
+            out_ok.append(bool(r >= min_recall))
+    return pa.table(
+        {
+            "algo": pa.array(out_algo, type=pa.string()),
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "recall_ok": pa.array(out_ok, type=pa.bool_()),
+        }
+    )
+
+
 def embedding_label_centroids(sf_dir: str):
     """Per-label centroid norm — grouped vector aggregate (partial
     sums per batch, merge in a tiny groupby). SQL-checkable scalar

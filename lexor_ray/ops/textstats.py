@@ -66,6 +66,31 @@ def quality_counts(sf_dir: str):
     return ds.map_batches(counts, batch_format="pyarrow").sort("doc_id")
 
 
+def token_quality_counts(sf_dir: str):
+    """Token + quality integer signals fused into ONE scan (the
+    driver-recorded entry covering both :func:`token_counts` and
+    :func:`quality_counts`, which remain first-class library ops —
+    the 50-entry driver window forces merged recording, not merged
+    code): doc_id, n_chars, n_tokens (whitespace tokens == n_words),
+    n_punct, n_digits, n_upper. Fully SQL-checkable."""
+    ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        sig = _quality_signals(batch["text"])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": sig["n_chars"],
+                "n_tokens": sig["n_words"],
+                "n_punct": sig["n_punct"],
+                "n_digits": sig["n_digits"],
+                "n_upper": sig["n_upper"],
+            }
+        )
+
+    return ds.map_batches(counts, batch_format="pyarrow").sort("doc_id")
+
+
 def _floor4(s: "pd.Series") -> "pd.Series":
     """Deterministic 4-digit truncation: ``floor(x·10⁴)/10⁴``. Used
     instead of ``round`` because pandas rounds half-even while DuckDB
@@ -321,13 +346,36 @@ def tfidf_top_terms(sf_dir: str, top_k: int = 3, min_df: int = 2, vocab_limit=No
     ds = tbl(sf_dir, "documents", columns=["doc_id", "text", "source"])
 
     def doc_terms(batch: pa.Table) -> pa.Table:
-        rows_t, rows_c = [], []
-        for text in batch.column("text").to_pylist():
-            for term in set((text or "").lower().split()):
-                rows_t.append(term)
-                rows_c.append(1)
-        t = pa.table({"term": pa.array(rows_t), "n": pa.array(rows_c, type=pa.int64())})
-        return t.group_by(["term"]).aggregate([("n", "sum")])
+        # vectorized df partial (round-2 verdict item 5): ONE pandas
+        # split/explode/drop_duplicates/groupby chain per batch —
+        # tokenization (`str.lower().str.split()`) is bit-identical to
+        # the old per-doc `(text or "").lower().split()`
+        s = (
+            pd.Series(batch.column("text").to_pylist())
+            .fillna("")
+            .str.lower()
+            .str.split()
+        )
+        ex = s.explode().dropna()
+        if len(ex) == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    "n_sum": pa.array([], type=pa.int64()),
+                }
+            )
+        counts = (
+            pd.DataFrame({"doc": ex.index.to_numpy(), "term": ex.to_numpy()})
+            .drop_duplicates()
+            .groupby("term", sort=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "term": pa.array(counts.index.to_numpy(), type=pa.string()),
+                "n_sum": pa.array(counts.to_numpy(), type=pa.int64()),
+            }
+        )
 
     from ray.data.aggregate import Sum
 
@@ -366,33 +414,61 @@ def tfidf_top_terms(sf_dir: str, top_k: int = 3, min_df: int = 2, vocab_limit=No
     idf_ref = ray.put(idf)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
+        # vectorized tf + score (round-2 verdict item 5): explode →
+        # per-(doc, term) C-level groupby count → Series.map(idf) →
+        # one float64 kernel. The arithmetic is elementwise IEEE ops
+        # in the same order as the old per-doc loop ((c/n_words)*idf,
+        # floor(s*1e6)/1e6), so scores stay bit-identical to the
+        # DuckDB oracle.
         idf_map = ray.get(idf_ref)
-        out = {"source": [], "doc_id": [], "term": [], "tfidf": []}
-        for text, doc_id, source in zip(
-            batch["text"], batch["doc_id"], batch["source"]
-        ):
-            words = (text or "").lower().split()
-            if not words:
-                continue
-            tf: dict[str, int] = {}
-            for w in words:
-                tf[w] = tf.get(w, 0) + 1
-            scored = [
-                (t, (c / len(words)) * idf_map[t])
-                for t, c in tf.items()
-                if t in idf_map
-            ]
-            scored.sort(key=lambda x: (-x[1], x[0]))
-            import math as _m
-
-            for t, s in scored[:top_k]:
-                out["source"].append(source)
-                out["doc_id"].append(doc_id)
-                out["term"].append(t)
-                # floor truncation, not round: bit-identical to the
-                # DuckDB oracle's floor(s*1e6)/1e6 (see _floor4)
-                out["tfidf"].append(_m.floor(s * 1e6) / 1e6)
-        return pd.DataFrame(out)
+        batch = batch.reset_index(drop=True)
+        words = batch["text"].fillna("").str.lower().str.split()
+        n_words = words.map(len)
+        ex = words.explode().dropna()
+        if len(ex) == 0:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "term": pd.Series([], dtype=object),
+                    "tfidf": pd.Series([], dtype="float64"),
+                }
+            )
+        tf = (
+            pd.DataFrame({"row": ex.index.to_numpy(), "term": ex.to_numpy()})
+            .groupby(["row", "term"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        tf["idf"] = tf["term"].map(idf_map)
+        tf = tf.dropna(subset=["idf"])
+        if len(tf) == 0:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "term": pd.Series([], dtype=object),
+                    "tfidf": pd.Series([], dtype="float64"),
+                }
+            )
+        s = (
+            tf["c"].to_numpy(np.float64)
+            / n_words.to_numpy(np.float64)[tf["row"].to_numpy()]
+        ) * tf["idf"].to_numpy(np.float64)
+        tf = tf.assign(s=s).sort_values(
+            ["s", "term"], ascending=[False, True], kind="mergesort"
+        )
+        top = tf.groupby("row", sort=False).head(top_k)
+        rows = top["row"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "source": batch["source"].to_numpy()[rows],
+                "doc_id": batch["doc_id"].to_numpy()[rows],
+                "term": top["term"].to_numpy(),
+                "tfidf": np.floor(top["s"].to_numpy() * 1e6) / 1e6,
+            }
+        )
+        return out
 
     return (
         ds.map_batches(score, batch_format="pandas")
@@ -409,31 +485,41 @@ def _tfidf_joined(ds, df_ds, n_docs: int, top_k: int):
     from .util import bucketed_join, coarse_grouped
 
     def tf_rows(batch: pa.Table) -> pa.Table:
-        doc_ids, sources, terms, cs, nws = [], [], [], [], []
-        for doc_id, source, text in zip(
-            batch.column("doc_id").to_pylist(),
-            batch.column("source").to_pylist(),
-            batch.column("text").to_pylist(),
-        ):
-            words = (text or "").lower().split()
-            if not words:
-                continue
-            tf: dict[str, int] = {}
-            for w in words:
-                tf[w] = tf.get(w, 0) + 1
-            for t, c in tf.items():
-                doc_ids.append(doc_id)
-                sources.append(source)
-                terms.append(t)
-                cs.append(c)
-                nws.append(len(words))
+        # vectorized per-doc term frequencies (round-2 verdict item 5)
+        words = (
+            pd.Series(batch.column("text").to_pylist())
+            .fillna("")
+            .str.lower()
+            .str.split()
+        )
+        n_words = words.map(len).to_numpy()
+        ex = words.explode().dropna()
+        if len(ex) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "source": pa.array([], type=pa.string()),
+                    "term": pa.array([], type=pa.string()),
+                    "c": pa.array([], type=pa.int64()),
+                    "n_words": pa.array([], type=pa.int64()),
+                }
+            )
+        tf = (
+            pd.DataFrame({"row": ex.index.to_numpy(), "term": ex.to_numpy()})
+            .groupby(["row", "term"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        rows = tf["row"].to_numpy()
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[rows]
+        sources = np.asarray(batch.column("source").to_pylist(), dtype=object)[rows]
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, type=pa.int64()),
                 "source": pa.array(sources, type=pa.string()),
-                "term": pa.array(terms, type=pa.string()),
-                "c": pa.array(cs, type=pa.int64()),
-                "n_words": pa.array(nws, type=pa.int64()),
+                "term": pa.array(tf["term"].to_numpy(), type=pa.string()),
+                "c": pa.array(tf["c"].to_numpy(), type=pa.int64()),
+                "n_words": pa.array(n_words[rows], type=pa.int64()),
             }
         )
 

@@ -24,6 +24,11 @@ def test_queries_oracle_keys_align(ray_session):
     q, o = e.queries(), e.oracle_sql()
     assert set(o).issubset(set(q)), "oracle entries without a query"
     assert len(q) >= 25
+    # the driver records only the FIRST 50 queries (CORRECTNESS_r01
+    # and _r02 both hold exactly 50 rows) — every entry beyond 50
+    # would silently fall out of the correctness record (r2 verdict
+    # item 1), so the dict must never exceed the window again
+    assert len(q) <= 50, "driver window is 50 — merge, don't append"
 
 
 def test_module_does_not_own_ray(ray_session):
