@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_turns": transcripts_ops.extract_turns,
         "extract_turns_text": transcripts_ops.extract_turns_text,
         "extract_links": transcripts_ops.extract_links,
+        "extract_markdown": transcripts_ops.extract_markdown,
         "extraction_log_summary": transcripts_ops.extraction_log_summary,
         "validate_extraction": transcripts_ops.validate_extraction,
         "conversation_stats_salted": transcripts_ops.conversation_stats_salted,
@@ -123,10 +124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": textstats.lang_distribution,
         # multimodal scalar roll-up (SQL-checked)
         "media_byte_totals": multimodal.media_byte_totals,
-        # ---- rows-only tail (genuinely non-SQL: markdown writer,
-        # seeded hash families, iterative float clustering, winnowing,
+        # ---- rows-only tail (genuinely non-SQL: seeded hash
+        # families, iterative float clustering, winnowing,
         # payload-byte features) ----
-        "extract_markdown": transcripts_ops.extract_markdown,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash_candidates": dedup.simhash_candidates,
         "kmeans_embeddings": similarity.kmeans_embeddings,
@@ -193,6 +193,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM read_parquet('{g}')
             )
             SELECT code, n_msgs FROM c WHERE n_msgs > 0 ORDER BY code
+        """,
+        # html→markdown golden gate: expected markdown is composed at
+        # generation time from the documented markdown-dialect
+        # semantics (transcripts._compose_md — no parser involved);
+        # per-turn equality over 8k turns additionally asserted in
+        # tests/test_pipeline.py
+        "extract_markdown": f"""
+            SELECT conv_id, turn_idx, clean_md AS markdown
+            FROM read_parquet('{g}')
+            ORDER BY conv_id, turn_idx
         """,
         "extract_links": f"""
             SELECT conv_id, turn_idx,

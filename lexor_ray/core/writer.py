@@ -243,7 +243,9 @@ class Writer:
         self._indent = ""
         self._indent_empty = False
         self.pos = [1, 1]
-        self.width = 70
+        # NOT reset here: ``width`` is writer CONFIGURATION (the CLI
+        # ``style[width=N]`` parameter), set once after construction —
+        # resetting it per write() silently discarded it (r3 bug fix)
         self.prev_str = "\n"
         hooks = self.dialect.hooks if self.dialect is not None else {}
         pre = hooks.get("writer_pre")

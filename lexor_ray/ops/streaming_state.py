@@ -22,7 +22,7 @@ import pandas as pd
 import pyarrow as pa
 
 
-def first_tool_turn_flags(sf_dir: str, n_buckets: int = 64):
+def first_tool_turn_flags(sf_dir: str, n_buckets: int = 64, src: str | None = None):
     """For every turn: had this conversation already produced a tool
     turn strictly before it (by ts)?
 
@@ -39,7 +39,7 @@ def first_tool_turn_flags(sf_dir: str, n_buckets: int = 64):
     from ..transcripts import transcripts_for
     from .util import coarse_apply
 
-    src = transcripts_for(sf_dir)
+    src = src or transcripts_for(sf_dir)
     ds = ray.data.read_parquet(src, columns=["conv_id", "turn_idx", "role", "ts"])
 
     def flags(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -71,7 +71,9 @@ def first_tool_turn_flags(sf_dir: str, n_buckets: int = 64):
     )
 
 
-def first_tool_turn_flags_actors(sf_dir: str, n_buckets: int = 4):
+def first_tool_turn_flags_actors(
+    sf_dir: str, n_buckets: int = 4, src: str | None = None
+):
     """Tier (c) DEMO of the same query: one ``@ray.remote`` actor per
     conv_id-hash bucket owns a mutable seen-tool index and observes its
     conversations' turns in global ts order (the driver tails the
@@ -88,20 +90,34 @@ def first_tool_turn_flags_actors(sf_dir: str, n_buckets: int = 4):
 
     @ray.remote
     class BucketState:
-        """Owns the seen-tool set for its conversations."""
+        """Owns the seen-tool state for its conversations, with the
+        SAME strict-ts tie semantics as the Dataset-native default
+        (ADVICE r2 fix): a tool turn at the SAME ts as the current row
+        must NOT count as 'seen before', so tool sightings are staged
+        per (conv, ts) and only committed once a later ts arrives for
+        that conversation. (The synthetic data has strictly increasing
+        per-conversation timestamps, so the parity test exercised the
+        easy case only — real data can carry ties.)"""
 
         def __init__(self) -> None:
             self.seen_tool: set[str] = set()
+            #: conv_id → ts of an uncommitted tool sighting
+            self.pending: dict[str, int] = {}
 
         def process(self, table: pa.Table) -> pa.Table:
-            # rows arrive in ts order within this bucket
+            # rows arrive in (ts, conv_id, turn_idx) order per bucket
             convs = table.column("conv_id").to_pylist()
             roles = table.column("role").to_pylist()
+            tss = table.column("ts").to_pylist()
             flags = np.empty(len(convs), dtype=bool)
-            for i, (c, r) in enumerate(zip(convs, roles)):
-                flags[i] = c in self.seen_tool
-                if r == "tool":
+            for i, (c, r, t) in enumerate(zip(convs, roles, tss)):
+                p = self.pending.get(c)
+                if p is not None and p < t:
                     self.seen_tool.add(c)
+                    del self.pending[c]
+                flags[i] = c in self.seen_tool
+                if r == "tool" and c not in self.seen_tool and c not in self.pending:
+                    self.pending[c] = t
             return pa.table(
                 {
                     "conv_id": table["conv_id"],
@@ -110,7 +126,7 @@ def first_tool_turn_flags_actors(sf_dir: str, n_buckets: int = 4):
                 }
             )
 
-    src = transcripts_for(sf_dir)
+    src = src or transcripts_for(sf_dir)
     ds = ray.data.read_parquet(src, columns=["conv_id", "turn_idx", "role", "ts"])
     actors = [BucketState.remote() for _ in range(n_buckets)]
     pending = []
@@ -121,7 +137,9 @@ def first_tool_turn_flags_actors(sf_dir: str, n_buckets: int = 4):
             __bucket=pd.util.hash_array(batch["conv_id"].to_numpy()) % n_buckets
         )
         for bid, sub in batch.groupby("__bucket", sort=False):
-            sub = sub.drop(columns=["__bucket", "ts"])
+            # ts stays in the payload: the actor needs it for the
+            # strict same-ts tie handling
+            sub = sub.drop(columns=["__bucket"])
             pending.append(
                 actors[int(bid)].process.remote(
                     pa.Table.from_pandas(sub, preserve_index=False)

@@ -46,9 +46,55 @@ def _sentence(rng: np.random.Generator, lo: int = 4, hi: int = 14) -> str:
     return " ".join(_WORDS[i] for i in idx)
 
 
+def _compose_md(specs: list[tuple]) -> str:
+    """Expected html→markdown output for a turn, composed at
+    generation time from the part specs — an independent derivation of
+    the markdown dialect's documented semantics (no parser/writer
+    involved), mirroring the event stream of ``dialects/markdown.py``:
+
+    - paragraphs/div/section: soft leading newline, inner markdown,
+      ``\\n\\n`` on close (an E100-unclosed part's close fires at EOF,
+      where the final strip removes it — so unclosed parts contribute
+      no trailing newlines);
+    - blockquote: ``'> '`` prefix once; lists: one ``'- item'`` line
+      per item; pre: fenced block; img: inline ``![alt](src)``;
+    - comments/doctype/script/style/PI are dropped but their adjacent
+      newline separators still emit (they are top-level text nodes);
+      class-boilerplate divs are NOT dropped by the markdown style
+      (class-based dropping is an html-text hook) — they render as
+      paragraphs;
+    - soft newline == the writer's ``endl(force=False)``: emit only
+      when the output doesn't already end in a newline.
+    """
+    md = ""
+
+    def soft(m: str) -> str:
+        return m if (m == "" or m.endswith("\n")) else m + "\n"
+
+    for i, spec in enumerate(specs):
+        kind = spec[0]
+        if kind == "para":
+            md = soft(md) + spec[1] + ("\n\n" if spec[2] else "")
+        elif kind == "quote":
+            md = soft(md) + "> " + spec[1] + ("\n\n" if spec[2] else "")
+        elif kind == "list":
+            md = soft(md)
+            for s in spec[1]:
+                md = soft(md) + "- " + s + "\n"
+        elif kind == "img":
+            md += f"![{spec[2]}]({spec[1]})"
+        elif kind == "pre":
+            md = soft(md) + "```\n" + spec[1] + "\n```" + "\n\n"
+        # "drop": contributes nothing
+        if i < len(specs) - 1:
+            md += "\n"  # the inter-part separator text node
+    return md.strip("\n")
+
+
 def _make_text(rng: np.random.Generator):
     """One turn's text: a deterministic random HTML-ish document,
     PLUS the golden main-content text an extractor must recover,
+    PLUS the golden html→markdown rendering (``_compose_md``),
     PLUS the expected diagnostic-code counts (n_e100, n_w100, n_w101).
 
     The golden string is composed alongside the markup from the same
@@ -72,36 +118,42 @@ def _make_text(rng: np.random.Generator):
     kind = rng.random()
     if kind < 0.30:  # plain text — fast path
         s = _sentence(rng, 6, 40)
-        return s, s, (0, 0, 0, 1)
+        return s, s, s, (0, 0, 0, 1)
     parts: list[str] = []
     clean: list[str] = []
     segs: list[int] = []  # emitted text-span segments per part
     text_tail: list[bool] = []  # part's SOURCE ends in emitted text
+    mds: list[tuple] = []  # markdown part specs for _compose_md
     n_e100 = n_w100 = n_w101 = 0
     if rng.random() < 0.05:
         parts.append("<!DOCTYPE html>")
         clean.append("")
         segs.append(0)
         text_tail.append(False)
+        mds.append(("drop",))
     if rng.random() < 0.10:
         parts.append(f"<!-- {_sentence(rng, 2, 6)} -->")
         clean.append("")
         segs.append(0)
         text_tail.append(False)
+        mds.append(("drop",))
     if rng.random() < 0.12:
         parts.append(f"<script>var x = {int(rng.integers(0, 999))};</script>")
         clean.append("")
         segs.append(0)
         text_tail.append(False)
+        mds.append(("drop",))
     if rng.random() < 0.08:
         parts.append(f"<style>.c{int(rng.integers(0,99))} {{color: red}}</style>")
         clean.append("")
         segs.append(0)
         text_tail.append(False)
+        mds.append(("drop",))
     n_paras = int(rng.integers(1, 5))
     for _ in range(n_paras):
         inner = _sentence(rng)
         inner_clean = inner
+        inner_md = inner
         inner_segs = 1
         ends_in_text = True  # deco none and bold leave a raw text tail
         deco = rng.random()
@@ -109,31 +161,37 @@ def _make_text(rng: np.random.Generator):
             s1, s2 = _sentence(rng, 1, 4), _sentence(rng, 1, 6)
             inner = f"{inner} <b>{s1}</b> {s2}"
             inner_clean = f"{inner_clean} {s1} {s2}"
+            inner_md = f"{inner_md} **{s1}** {s2}"
             inner_segs = 3
         elif deco < 0.40:
             href = int(rng.integers(0, 999))
             s1 = _sentence(rng, 1, 3)
             inner = f'{inner} <a href="http://example.com/{href}">{s1}</a>'
             inner_clean = f"{inner_clean} {s1}"
+            inner_md = f"{inner_md} [{s1}](http://example.com/{href})"
             inner_segs = 2
             ends_in_text = False  # </a> tail
         elif deco < 0.50:
             s1 = _sentence(rng, 1, 4)
             inner = f"{inner} &amp; {s1} &lt;ok&gt;"
             inner_clean = f"{inner_clean} & {s1} <ok>"
+            inner_md = inner_clean  # entities decode identically
             inner_segs = 6  # text, &amp;, text, &lt;, 'ok', &gt;
             ends_in_text = False  # entity tail (entities never coalesce)
         elif deco < 0.58:
             s1 = _sentence(rng, 1, 3)
             inner = f"{inner} <i>{s1} <em>deep</em></i>"
             inner_clean = f"{inner_clean} {s1} deep"
+            inner_md = f"{inner_md} *{s1} *deep**"
             inner_segs = 3
             ends_in_text = False  # </i> tail
         tag = ["p", "div", "section", "blockquote"][int(rng.integers(0, 4))]
         shape = rng.random()
+        closed = True
         if shape < 0.05:  # unclosed at EOF -> E100
             parts.append(f"<{tag}>{inner}")
             n_e100 += 1
+            closed = False
         elif shape < 0.10:  # inner left open, outer closes -> W100
             parts.append(f"<{tag}><span>{inner}</{tag}>")
             n_w100 += 1
@@ -144,6 +202,9 @@ def _make_text(rng: np.random.Generator):
             parts.append(f"<{tag}>{inner}</{tag}>")
         clean.append(inner_clean)
         segs.append(inner_segs)
+        mds.append(
+            ("quote" if tag == "blockquote" else "para", inner_md, closed)
+        )
         # only the UNCLOSED shape exposes the inner tail to the
         # following separator (every other shape ends with a tag)
         text_tail.append(shape < 0.05 and ends_in_text)
@@ -153,28 +214,38 @@ def _make_text(rng: np.random.Generator):
         clean.append("".join(sents))
         segs.append(len(sents))
         text_tail.append(False)
+        mds.append(("list", sents))
     if rng.random() < 0.10:
-        parts.append(f'<img src="x{int(rng.integers(0,99))}.png" alt="{_sentence(rng,1,3)}">')
+        src = f"x{int(rng.integers(0,99))}.png"
+        alt = _sentence(rng, 1, 3)
+        parts.append(f'<img src="{src}" alt="{alt}">')
         clean.append("")
         segs.append(0)
         text_tail.append(False)
+        mds.append(("img", src, alt))
     if rng.random() < 0.04:
         parts.append(f"<?pi {_sentence(rng, 1, 3)} ?>")
         clean.append("")
         segs.append(0)
         text_tail.append(False)
+        mds.append(("drop",))
     if rng.random() < 0.06:  # class-based boilerplate (F2)
         cls = ["ad", "banner", "sidebar", "cookie-notice"][int(rng.integers(0, 4))]
-        parts.append(f'<div class="{cls} wide">{_sentence(rng, 3, 8)}</div>')
+        boiler = _sentence(rng, 3, 8)
+        parts.append(f'<div class="{cls} wide">{boiler}</div>')
         clean.append("")
         segs.append(0)
         text_tail.append(False)
+        # class-based dropping is an html-text hook; the markdown
+        # style renders these divs as ordinary paragraphs
+        mds.append(("para", boiler, True))
     if rng.random() < 0.001:  # rare huge tool dump (heavy-tail skew)
         dump = " ".join([_sentence(rng, 8, 16)] * 2500)
         parts.append("<pre>" + dump + "</pre>")
         clean.append(dump)
         segs.append(1)
         text_tail.append(False)
+        mds.append(("pre", dump))
     # each inter-part newline separator is its own emitted text span —
     # EXCEPT when the preceding part's source ends in emitted text
     # (unclosed shape, raw-text tail): that tail and the separator are
@@ -182,11 +253,16 @@ def _make_text(rng: np.random.Generator):
     # the engine in tests)
     merged = sum(1 for j, f in enumerate(text_tail) if f and j < len(parts) - 1)
     n_spans = sum(segs) + max(0, len(parts) - 1) - merged
-    return "\n".join(parts), "\n".join(clean), (n_e100, n_w100, n_w101, n_spans)
+    return (
+        "\n".join(parts),
+        "\n".join(clean),
+        _compose_md(mds),
+        (n_e100, n_w100, n_w101, n_spans),
+    )
 
 
 #: bump when generation logic changes — invalidates cached dirs
-GEN_VERSION = "v7"
+GEN_VERSION = "v8"
 
 #: turns per generation chunk: content is a pure function of
 #: (seed, chunk_index), so chunks can be generated in parallel (Ray
@@ -216,6 +292,7 @@ def generate_transcripts(
     roles: list[str] = []
     texts: list[str] = []
     cleans: list[str] = []
+    md_golds: list[str] = []
     codes: list[tuple] = []
     tools: list[str] = []
     ts: list[int] = []
@@ -232,9 +309,10 @@ def generate_transcripts(
             turn_idx.append(i)
             role = _ROLES[2] if rng.random() < 0.15 else _ROLES[i % 2]
             roles.append(role)
-            text, clean, code = _make_text(rng)
+            text, clean, md, code = _make_text(rng)
             texts.append(text)
             cleans.append(clean)
+            md_golds.append(md)
             codes.append(code)
             tools.append(
                 _TOOLS[int(rng.integers(0, len(_TOOLS)))] if role == "tool" else ""
@@ -263,6 +341,7 @@ def generate_transcripts(
             "conv_id": pa.array(conv_ids, type=pa.string()),
             "turn_idx": pa.array(turn_idx, type=pa.int32()),
             "clean_text": pa.array(cleans, type=pa.string()),
+            "clean_md": pa.array(md_golds, type=pa.string()),
             "n_e100": pa.array([c[0] for c in codes], type=pa.int32()),
             "n_w100": pa.array([c[1] for c in codes], type=pa.int32()),
             "n_w101": pa.array([c[2] for c in codes], type=pa.int32()),

@@ -401,6 +401,56 @@ def test_first_tool_flags_native_vs_actor_parity(ray_session):
     pd.testing.assert_frame_equal(native, actor)
 
 
+def test_first_tool_flags_same_ts_tie_parity(ray_session, tmp_path):
+    """STRICT same-ts semantics on data WITH timestamp ties: a tool
+    turn at the same ts as another turn must not count as 'seen
+    before' it — on either path (ADVICE r2: the synthetic corpus has
+    strictly increasing per-conv timestamps, so the plain parity test
+    never exercised ties)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lexor_ray.ops.streaming_state import (
+        first_tool_turn_flags,
+        first_tool_turn_flags_actors,
+    )
+
+    t0 = 1_700_000_000_000_000
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["c1"] * 4 + ["c2"] * 3),
+            "turn_idx": pa.array([0, 1, 2, 3, 0, 1, 2], type=pa.int32()),
+            # c1: tool at ts t0 TIED with turn 1; turn 2 same ts again;
+            # turn 3 later. c2: tool strictly before turn 1, tie at 2.
+            "role": pa.array(
+                ["tool", "user", "assistant", "user", "tool", "user", "tool"]
+            ),
+            "ts": pa.array(
+                [t0, t0, t0, t0 + 5, t0, t0 + 1, t0 + 1],
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    src = str(tmp_path / "ties")
+    import os
+
+    os.makedirs(src)
+    pq.write_table(tbl, os.path.join(src, "t.parquet"))
+    native = df(first_tool_turn_flags("sf0.01", src=src)).sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    actor = first_tool_turn_flags_actors("sf0.01", src=src).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(native, actor)
+    want = {  # strict-ts expectations
+        ("c1", 0): False, ("c1", 1): False, ("c1", 2): False, ("c1", 3): True,
+        ("c2", 0): False, ("c2", 1): True, ("c2", 2): True,
+    }
+    got = dict(
+        zip(zip(native["conv_id"], native["turn_idx"]), native["tool_seen_before"])
+    )
+    assert got == want
+
+
 def test_embedding_neardup_banded_autosize(ray_session):
     """Auto-sized planes + multi-band bucketing still find planted
     near-identical vectors (the round-1 fixed-12-planes replacement)."""

@@ -239,6 +239,32 @@ def test_golden_log_codes_match_engine():
         assert len(res["spans"]) == sm[(c, i)], (c, i, t[:80])
 
 
+def test_golden_markdown_matches_engine():
+    """The generation-time composed markdown (transcripts._compose_md)
+    must equal the real parse→convert→write markdown per turn — the
+    claim behind the extract_markdown oracle. 8k turns cover every
+    part shape incl. E100 nesting, W100 sweeps, lists, images,
+    entities and boilerplate divs."""
+    from lexor_ray.dialects.markdown import to_markdown
+    from lexor_ray.transcripts import generate_transcripts
+
+    tbl, golden = generate_transcripts(8000, seed=123, with_golden=True)
+    want = {
+        (c, i): md
+        for c, i, md in zip(
+            golden["conv_id"].to_pylist(),
+            golden["turn_idx"].to_pylist(),
+            golden["clean_md"].to_pylist(),
+        )
+    }
+    for c, i, t in zip(
+        tbl["conv_id"].to_pylist(),
+        tbl["turn_idx"].to_pylist(),
+        tbl["text"].to_pylist(),
+    ):
+        assert to_markdown(t) == want[(c, i)], (c, i, t[:120])
+
+
 def test_run_extraction_concurrent_chunks(ray_session, small_dir, tmp_path):
     """Overlapped chunk pipelines (max_in_flight=4) produce the same
     output as sequential, and resume under concurrency still skips
