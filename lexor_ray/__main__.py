@@ -29,8 +29,6 @@ import sys
 
 #: target aliases (reference accepts short style names)
 _TARGET_ALIASES = {"md": "markdown", "txt": "text"}
-#: output extension per target for multi-target file mode
-_TARGET_EXT = {"text": "txt", "markdown": "md", "xml": "xml"}
 
 
 def parse_target_spec(spec: str) -> tuple[str, dict]:
@@ -225,6 +223,26 @@ def main(argv=None) -> int:
         help="print a markdown API document for a registered dialect "
         "(the reference's `lexor document` command) and exit",
     )
+    ap.add_argument(
+        "--write",
+        "-w",
+        action="store_true",
+        help="also write the output to '<base>.<style>.<lang>' beside "
+        "the source (the reference's --write flag and naming, "
+        "lexor/command/to.py:300-306,352)",
+    )
+    ap.add_argument(
+        "--nodisplay",
+        "-n",
+        action="store_true",
+        help="suppress stdout display (reference --nodisplay)",
+    )
+    ap.add_argument(
+        "--append",
+        action="store_true",
+        help="open output files in append mode (the reference "
+        "Writer.write(filename, mode='a') option, core/writer.py:355)",
+    )
     ap.add_argument("--table", help="transcripts parquet dir (distributed mode)")
     ap.add_argument("--out", help="output dir for --table mode")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -282,23 +300,48 @@ def main(argv=None) -> int:
         dialect = EXTENSION_DIALECTS.get(ext, "html")
         lang = {"latex-text": "latex", "lexor-text": "lexor"}.get(dialect, dialect)
     targets = split_targets(args.to)
-    if len(targets) == 1:
-        to, params = targets[0]
-        print(convert_one(text, to, lang, params))
-        return 0
-    # multi-target (reference to.py:271-291): one file per target,
-    # written beside the source (or --out-dir)
-    if args.src == "-":
-        ap.error("multi-target conversion needs a source file, not stdin")
+    # defaults merge chain (reference config.py:163-210 semantics):
+    # module DEFAULTS → config-file [lang-kind-style] section → the
+    # CLI style[param=val] overrides
+    from .config import read_config, style_defaults
+
+    _kind = {"markdown": "writer", "xml": "writer", "text": "converter"}
+    cfg = read_config()
+    targets = [
+        (to, style_defaults(f"{lang}-{_kind.get(to, 'writer')}-{to}", params, cfg))
+        for to, params in targets
+    ]
     import os
 
+    mode = "a" if args.append else "w"
+    if len(targets) == 1:
+        to, params = targets[0]
+        out = convert_one(text, to, lang, params)
+        if not args.nodisplay:
+            print(out)
+        if args.write:
+            if args.src == "-":
+                ap.error("--write needs a source file, not stdin")
+            base = os.path.splitext(os.path.basename(args.src))[0]
+            out_dir = args.out_dir or os.path.dirname(os.path.abspath(args.src))
+            os.makedirs(out_dir, exist_ok=True)
+            sname = params.get("style", "default")
+            path = os.path.join(out_dir, f"{base}.{sname}.{to}")
+            with open(path, mode) as fh:
+                fh.write(out)
+                fh.write("\n")
+        return 0
+    # multi-target (reference to.py:271-291): one file per target with
+    # the reference's '<base>.<style>.<lang>' naming (to.py:332,352)
+    if args.src == "-":
+        ap.error("multi-target conversion needs a source file, not stdin")
     base = os.path.splitext(os.path.basename(args.src))[0]
     out_dir = args.out_dir or (os.path.dirname(os.path.abspath(args.src)))
     os.makedirs(out_dir, exist_ok=True)
     for to, params in targets:
-        ext_out = _TARGET_EXT.get(to, to)
-        path = os.path.join(out_dir, f"{base}.{ext_out}")
-        with open(path, "w") as fh:
+        sname = params.get("style", "default")
+        path = os.path.join(out_dir, f"{base}.{sname}.{to}")
+        with open(path, mode) as fh:
             fh.write(convert_one(text, to, lang, params))
             fh.write("\n")
         print(path)

@@ -226,10 +226,18 @@ def _minhash_batches(batch, num_perm: int, bands: int):
     return fn(batch)
 
 
-def minhash_lsh_candidates(sf_dir: str, num_perm: int = 64, bands: int = 16):
+def minhash_lsh_candidates(
+    sf_dir: str, num_perm: int = 64, bands: int = 16, dedup_pairs: bool = True
+):
     """MinHash-LSH candidate pairs: signature stage (actor pool) →
     explode to (band_id, band_hash, doc_id) → bucket groupby → pairs.
-    Returns unique candidate (a, b) pairs with a < b."""
+    Returns unique candidate (a, b) pairs with a < b.
+
+    ``dedup_pairs=False`` skips the cross-band pair dedup shuffle and
+    returns pairs that may repeat (once per colliding band) — the
+    verify pipeline dedups them inside its size-adaptive tier instead
+    (driver ``drop_duplicates`` on the measured-small tier), saving a
+    whole all-to-all on the hot path."""
     import functools
 
     ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
@@ -243,6 +251,8 @@ def minhash_lsh_candidates(sf_dir: str, num_perm: int = 64, bands: int = 16):
     cand = coarse_apply(
         sigs, ["band_id", "band_hash"], _bucket_pair_expansion
     )
+    if not dedup_pairs:
+        return cand
     # dedup pairs found in multiple bands (vectorized coarse dedup);
     # NOT sorted here — order is cosmetic and a global sort is a whole
     # extra all-to-all; consumers sort their own final output
@@ -340,6 +350,11 @@ def _join_pair_texts(cand, docs):
     anywhere (round-1 verdict fix).
 
     Returns a Dataset with columns (a, b, text_a, text_b)."""
+    from .util import coarse_dedup
+
+    # at-scale tier: cross-band duplicate pairs are deduped with the
+    # distributed coarse shuffle before the (heavier) text joins
+    cand = coarse_dedup(cand, ["a", "b"])
     j1 = _attach_text(
         cand,
         docs,
@@ -367,8 +382,16 @@ def _broadcast_pair_texts(cand, docs):
     not the round-1 anti-pattern (which read the WHOLE documents table
     to the driver unconditionally)."""
     import ray
+    import ray.data
 
-    cdf = cand.to_pandas()  # materialized and measured small
+    # materialized and measured small; cross-band duplicate pairs are
+    # dropped HERE (driver-side, bounded) — the candidate stage no
+    # longer pays a dedup shuffle for them
+    cdf = (
+        cand.to_pandas()
+        .drop_duplicates(["a", "b"])
+        .reset_index(drop=True)
+    )
     need = np.unique(np.concatenate([cdf["a"].to_numpy(), cdf["b"].to_numpy()]))
     need_ref = ray.put(pa.array(need, type=pa.int64()))
 
@@ -386,7 +409,13 @@ def _broadcast_pair_texts(cand, docs):
         out["text_b"] = out["b"].map(t)
         return out
 
-    return cand.map_batches(attach, batch_format="pandas")
+    # re-distribute the deduped pairs over several blocks so the
+    # jaccard verify parallelizes
+    n_blocks = max(1, min(32, len(cdf) // 4096 + 1))
+    pair_ds = ray.data.from_pandas(
+        list(np.array_split(cdf, n_blocks)) if len(cdf) else [cdf]
+    )
+    return pair_ds.map_batches(attach, batch_format="pandas")
 
 
 #: candidate-pair count above which the verify path switches from the
@@ -425,7 +454,10 @@ def _pairs_with_jaccard(sf_dir: str, threshold: float | None, small_limit=None):
     and estimated broadcast BYTES — mean text size × 2·n_pairs)."""
     if small_limit is None:
         small_limit = _SMALL_PAIR_LIMIT
-    cand = minhash_lsh_candidates(sf_dir).materialize()
+    # cross-band duplicate pairs ride through (≤ bands× overcount —
+    # conservative for the tier gate) and are deduped per tier below,
+    # saving one all-to-all shuffle on this hot path
+    cand = minhash_lsh_candidates(sf_dir, dedup_pairs=False).materialize()
     n = cand.count()
     if n == 0:
         return _empty_pairs_table()
@@ -436,10 +468,18 @@ def _pairs_with_jaccard(sf_dir: str, threshold: float | None, small_limit=None):
             small = _mean_text_bytes(sf_dir) * 2 * n <= _SMALL_BYTE_LIMIT
         except Exception:
             small = False  # unknown sizes → take the distributed tier
-    joined = (
-        _broadcast_pair_texts(cand, docs) if small else _join_pair_texts(cand, docs)
-    )
-    return _score_pairs(joined, threshold).sort(["a", "b"])
+    if small:
+        # verify stays distributed (per-batch Jaccard over the pair
+        # Dataset); only the MEASURED-SMALL (a, b, jaccard) result is
+        # collected, so the final ordering is a local sort instead of
+        # a whole Dataset sort stage (one fewer all-to-all + executor
+        # startup on the hot bench path)
+        scored = _score_pairs(_broadcast_pair_texts(cand, docs), threshold)
+        out = scored.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        if len(out) == 0:
+            return _empty_pairs_table()
+        return pa.Table.from_pandas(out, preserve_index=False)
+    return _score_pairs(_join_pair_texts(cand, docs), threshold).sort(["a", "b"])
 
 
 def _score_pairs(joined, threshold: float | None):

@@ -1,13 +1,16 @@
 """Multimodal column plumbing: opaque binary payloads with typed
 metadata, decoded/feature-extracted by actor-pool stages.
 
-The image/audio codecs are not available in this environment, so the
-decode step is a clearly-marked deterministic stub
-(:class:`StubDecoder`) — but the Ray-side plumbing is real and tested:
-binary columns ride Arrow blocks zero-copy, batches are sized small
-for wide rows, the stage is an actor pool with per-actor setup, and
-the output layout (fixed-size feature vectors + scalar metadata) is
-what a real decoder would produce.
+Two REAL pure-numpy codecs are implemented — 24-bit BMP
+(:func:`decode_bmp`) and 8-bit RGB PNG with full five-filter
+unfiltering (:func:`decode_png`, stdlib zlib inflate) — so the decode
+stage genuinely decodes pixels for those media types. JPEG-class
+formats (no codec library in this container) keep the clearly-marked
+deterministic stub path in :class:`StubDecoder`. Either way the
+Ray-side plumbing is real and tested: binary columns ride Arrow blocks
+zero-copy, batches are sized small for wide rows, the stage amortizes
+per-worker setup, and the output layout (fixed-size feature vectors +
+scalar metadata) is what a production decoder would produce.
 """
 
 from __future__ import annotations
@@ -61,13 +64,115 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return rows[::-1, :, ::-1]  # bottom-up → top-down, BGR→RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data))
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal 8-bit RGB PNG encoder (public format: RFC 2083 —
+    IHDR/IDAT/IEND chunks, zlib-deflated scanlines, filter 0 per
+    row). ``pixels`` is (h, w, 3) uint8 RGB. Pure struct+numpy+zlib,
+    no image library."""
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    rows = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    rows[:, 1:] = pixels.reshape(h, w * 3)  # filter byte 0 + raw row
+    idat = zlib.compress(rows.tobytes(), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Real decode of an 8-bit RGB (color type 2, non-interlaced) PNG
+    → (h, w, 3) uint8 RGB: chunk walk, zlib inflate, scanline
+    UNFILTER for all five PNG filter types (None/Sub/Up/Average/
+    Paeth). Pure struct+numpy+zlib; raises ValueError on any variant
+    outside that profile."""
+    if len(data) < 8 or data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = b""
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or ctype != 2 or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("unsupported PNG variant")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(idat)
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline size mismatch")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = lines[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = 3
+    for y in range(h):
+        f = int(filters[y])
+        cur = lines[y, 1:].copy()
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            pass
+        elif f == 1:  # Sub — sequential in x, vector over channels
+            for i in range(bpp, stride):
+                cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
+        elif f == 2:  # Up — fully vectorized (uint8 wraparound)
+            cur = cur + prev
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                if pa_ <= pb_ and pa_ <= pc_:
+                    pred = a
+                elif pb_ <= pc_:
+                    pred = b
+                else:
+                    pred = c
+                cur[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = cur
+    return out.reshape(h, w, 3)
+
+
 def synthesize_media(sf_dir: str):
     """Derive a deterministic binary 'media' column from documents:
     payload + typed metadata columns (media_type, width, height).
-    Every fifth document carries a REAL 24-bit BMP (a format decodable
-    with pure numpy — see :func:`decode_bmp`); the rest carry the
-    seeded pseudo-image bytes. Stands in for a real
-    `(doc_id, payload, meta)` media table with mixed codecs."""
+    Every fifth document carries a REAL 24-bit BMP and every
+    ``doc_id % 5 == 3`` document a REAL 8-bit RGB PNG (both formats
+    decodable with pure numpy+zlib — :func:`decode_bmp`,
+    :func:`decode_png`); the rest carry the seeded pseudo-image bytes.
+    Stands in for a real `(doc_id, payload, meta)` media table with
+    mixed codecs."""
     ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
     def make(batch: pa.Table) -> pa.Table:
@@ -82,6 +187,10 @@ def synthesize_media(sf_dir: str):
                 pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
                 payloads.append(encode_bmp(pix))
                 types.append("image/bmp")
+            elif i % 5 == 3:
+                pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                payloads.append(encode_png(pix))
+                types.append("image/png")
             else:
                 payloads.append(
                     rng.integers(0, 256, w * h, dtype=np.uint8).tobytes()
@@ -103,8 +212,9 @@ def synthesize_media(sf_dir: str):
 
 
 class StubDecoder:
-    """Mixed-codec decoder stage. ``image/bmp`` payloads get a REAL
-    decode (:func:`decode_bmp` — pure struct+numpy, no image library)
+    """Mixed-codec decoder stage. ``image/bmp`` and ``image/png``
+    payloads get a REAL decode (:func:`decode_bmp` /
+    :func:`decode_png` — pure struct+numpy+zlib, no image library)
     to an (h, w, 3) pixel array whose statistics become the features.
     ``image/fake`` payloads keep the honest stub (mean/std over raw
     bytes — PIL/opencv are not in this container for JPEG-class
@@ -112,14 +222,18 @@ class StubDecoder:
     schema are the production contract. Raises NotImplementedError for
     media types neither path handles."""
 
-    REAL_DECODE = ("image/bmp",)
+    REAL_DECODE = ("image/bmp", "image/png")
 
     def __init__(self, feature_dim: int = 4) -> None:
         self.feature_dim = feature_dim
 
     def decode_features(self, payload: bytes, media_type: str) -> np.ndarray:
-        if media_type == "image/bmp":
-            pix = decode_bmp(payload)  # real decode
+        if media_type in self.REAL_DECODE:
+            pix = (
+                decode_bmp(payload)
+                if media_type == "image/bmp"
+                else decode_png(payload)
+            )
             return np.array(
                 [
                     float(pix.mean()),
@@ -233,6 +347,8 @@ def resize_media(sf_dir: str, out_w: int = 4, out_h: int = 4):
         ):
             if m == "image/bmp":
                 img = decode_bmp(p)  # (h, w, 3) — real decode
+            elif m == "image/png":
+                img = decode_png(p)
             else:
                 img = np.frombuffer(p, dtype=np.uint8).reshape(h, w)
             yi = (np.arange(out_h) * h) // out_h
@@ -277,6 +393,8 @@ def media_pipeline(sf_dir: str, frame_bytes: int = 16, every_k: int = 4,
             n_frames.append(len(range(0, len(p) // frame_bytes, every_k)))
             if m == "image/bmp":
                 img = decode_bmp(p)
+            elif m == "image/png":
+                img = decode_png(p)
             else:
                 img = np.frombuffer(p, dtype=np.uint8).reshape(h, w)
             yi = (np.arange(out_h) * h) // out_h

@@ -197,11 +197,12 @@ def test_resize_media_shape(ray_session):
 
     got = df(resize_media(SF))
     # fake payloads downsample to 4x4 single-channel (16 bytes);
-    # real BMP docs (doc_id % 5 == 0) to 4x4 RGB (48 bytes)
+    # real BMP (doc_id % 5 == 0) and PNG (doc_id % 5 == 3) docs to
+    # 4x4 RGB (48 bytes)
     sizes = got["resized"].map(len)
-    is_bmp = (got["doc_id"] % 5 == 0)
-    assert (sizes[is_bmp] == 48).all()
-    assert (sizes[~is_bmp] == 16).all()
+    is_rgb = (got["doc_id"] % 5 == 0) | (got["doc_id"] % 5 == 3)
+    assert (sizes[is_rgb] == 48).all()
+    assert (sizes[~is_rgb] == 16).all()
     assert (got["checksum"] >= 0).all()
 
 
@@ -219,6 +220,67 @@ def test_bmp_roundtrip_and_real_decode(ray_session):
     feats = StubDecoder().decode_features(data, "image/bmp")
     assert abs(feats[0] - pix.mean()) < 1e-3
     assert feats[2] == 9 * 13
+
+
+def test_png_roundtrip_and_all_filters(ray_session):
+    """encode_png → decode_png is the identity, and the decoder's
+    unfilter handles all five PNG filter types (a hand-built IDAT
+    stream applies Sub/Up/Average/Paeth row filters computed by an
+    independent reference loop)."""
+    import struct
+    import zlib
+
+    from lexor_ray.ops.multimodal import (
+        StubDecoder,
+        _png_chunk,
+        _PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    pix = rng.integers(0, 256, (7, 11, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(pix)) == pix).all()
+    feats = StubDecoder().decode_features(encode_png(pix), "image/png")
+    assert abs(feats[0] - pix.mean()) < 1e-3
+    assert feats[2] == 7 * 11
+
+    # hand-filter each row with a different filter type (reference
+    # implementation of the PNG spec, independent of the decoder)
+    h, w, bpp = 5, 6, 3
+    img = rng.integers(0, 256, (h, w * bpp), dtype=np.uint8).astype(np.int64)
+    raw = b""
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        cur = img[y]
+        prev = img[y - 1] if y else np.zeros(w * bpp, dtype=np.int64)
+        line = np.zeros(w * bpp, dtype=np.int64)
+        for i in range(w * bpp):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+            line[i] = (cur[i] - pred) % 256
+        raw += bytes([f]) + line.astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    back = decode_png(data)
+    assert (back.reshape(h, w * bpp) == img.astype(np.uint8)).all()
 
 
 def test_lsh_ann_recall(ray_session):
@@ -262,7 +324,7 @@ def test_media_features_stub_contract(ray_session):
     assert all(len(f) == 4 for f in got["features"])
     dec = StubDecoder()
     with pytest.raises(NotImplementedError):
-        dec.decode_features(b"xx", "image/png")
+        dec.decode_features(b"xx", "image/jpeg")
 
 
 def test_sessionize_gap_semantics(ray_session):

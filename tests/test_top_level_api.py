@@ -83,12 +83,59 @@ def test_cli_multi_target_with_style_parameter(tmp_path, capsys):
     src.write_text("<p>" + " ".join(["word"] * 40) + " <b>bold</b></p>")
     rc = main([str(src), "--to", "markdown[width=100],text", "--out-dir", str(tmp_path)])
     assert rc == 0
-    md = (tmp_path / "doc.md").read_text()
-    txt = json.loads((tmp_path / "doc.txt").read_text())
+    # reference '<base>.<style>.<lang>' output naming (to.py:332,352)
+    md = (tmp_path / "doc.default.markdown").read_text()
+    txt = json.loads((tmp_path / "doc.default.text").read_text())
     assert "**bold**" in md
     # width=100 honored: no wrapped line shorter than default 70 forces
     assert max(len(line) for line in md.splitlines()) > 70
     assert "bold" in txt["extracted_text"]
+
+
+def test_cli_config_file_merge_chain(tmp_path, capsys, monkeypatch):
+    """Config-file section values override module DEFAULTS and are in
+    turn overridden by CLI style parameters (the reference's
+    set_style_cfg precedence, lexor/command/config.py:163-210)."""
+    from lexor_ray.__main__ import main
+
+    src = tmp_path / "doc.html"
+    src.write_text("<p>hello <b>world</b></p>")
+    cfgdir = tmp_path / "cfg"
+    cfgdir.mkdir()
+    (cfgdir / "lexor.config").write_text(
+        "[html-writer-markdown]\nwidth = 33\nstyle = custom\n"
+    )
+    monkeypatch.setenv("LEXOR_CONFIG_PATH", str(cfgdir))
+    monkeypatch.chdir(tmp_path)
+
+    # file default (style=custom) drives the output NAME; width=33
+    # comes from the file section
+    rc = main([str(src), "--to", "markdown", "--write", "--nodisplay"])
+    assert rc == 0
+    assert (tmp_path / "doc.custom.markdown").exists()
+
+    # CLI style parameter overrides the file value
+    rc = main([str(src), "--to", "markdown[style=cli]", "-w", "-n"])
+    assert rc == 0
+    assert (tmp_path / "doc.cli.markdown").exists()
+
+
+def test_cli_write_append_mode(tmp_path, capsys, monkeypatch):
+    """--write emits '<base>.<style>.<lang>' beside the source and
+    --append reopens it in mode 'a' (reference Writer.write modes,
+    core/writer.py:355-404)."""
+    from lexor_ray.__main__ import main
+
+    monkeypatch.chdir(tmp_path)
+    src = tmp_path / "doc.html"
+    src.write_text("<p>once</p>")
+    assert main([str(src), "--to", "markdown", "-w", "-n"]) == 0
+    out = tmp_path / "doc.default.markdown"
+    assert out.read_text() == "once\n"
+    assert main([str(src), "--to", "markdown", "-w", "-n", "--append"]) == 0
+    assert out.read_text() == "once\nonce\n"
+    # display suppressed by -n both times
+    assert capsys.readouterr().out == ""
 
 
 def test_cli_drop_classes_style_parameter(tmp_path, capsys):
