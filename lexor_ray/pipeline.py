@@ -408,6 +408,12 @@ def run_extraction(
         ds = extract_ds(
             ds, dialect=dialect, batch_size=batch_size, concurrency=concurrency
         )
+        # NOTE (measured, BENCH/BASELINE.md soak): a materialize-once
+        # tier that fed both the write and the lineage partials from
+        # pinned blocks was TRIED here and lost ~20% end-to-end — the
+        # per-chunk materialization barrier and the extra object-store
+        # traffic cost more than the column-pruned read-back saves, so
+        # the streaming write + distributed read-back stays.
         ds.write_parquet(tmp)
         if os.path.exists(pdir):
             shutil.rmtree(pdir)
@@ -482,8 +488,20 @@ def _chunk_lineage(part_dir: str, inputs: list[str]) -> dict:
     to the old path (asserted by the resume tests)."""
     import ray.data
 
+    # a handful of coalesced read tasks: the per-chunk output is many
+    # small files, and per-file read tasks made this pass task-launch
+    # bound (measured ~2s/chunk → ~0.7s with coalescing)
+    ds = ray.data.read_parquet(
+        part_dir, columns=["span_crc", "rule_hits"], override_num_blocks=16
+    )
+    return _lineage_record(ds, inputs)
+
+
+def _lineage_record(ds, inputs: list[str]) -> dict:
+    """Fold per-batch lineage partials of a Dataset holding
+    ``span_crc``/``rule_hits`` columns into one manifest record; the
+    driver sees one tiny row per batch, never the columns."""
     n_rules = len(ExtractBatch.RULE_NAMES)
-    ds = ray.data.read_parquet(part_dir, columns=["span_crc", "rule_hits"])
 
     def partial(batch: pa.Table) -> pa.Table:
         crc = batch.column("span_crc").to_numpy(zero_copy_only=False)
