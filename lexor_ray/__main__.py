@@ -224,6 +224,15 @@ def main(argv=None) -> int:
         "(the reference's `lexor document` command) and exit",
     )
     ap.add_argument(
+        "--install",
+        metavar="STYLE.py",
+        help="install a style module (a Python file defining DIALECT/"
+        "DIALECTS) into the styles dir so its dialect name resolves "
+        "everywhere — the reference's `lexor install` command "
+        "(lexor/command/install.py:41-110); search path: "
+        "$LEXOR_RAY_STYLE_PATH then ~/.lexor_ray/styles",
+    )
+    ap.add_argument(
         "--write",
         "-w",
         action="store_true",
@@ -247,6 +256,12 @@ def main(argv=None) -> int:
     ap.add_argument("--out", help="output dir for --table mode")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
+
+    if args.install:
+        from .dialects.registry import install_style
+
+        print(install_style(args.install))
+        return 0
 
     if args.document:
         print(document_dialect(args.document))

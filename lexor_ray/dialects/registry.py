@@ -112,6 +112,110 @@ def get_dialect(name: str) -> Dialect:
     # 'xml' aliases the html dialect (the reference's default parse
     # lang is 'xml'; reference users' parse(text, 'xml') must work)
     _REGISTRY.setdefault("xml", _REGISTRY["html"])
+    if name not in _REGISTRY and _discover_style(name):
+        pass  # installed-style miss → search path loaded it
     if name not in _REGISTRY:
         raise KeyError(f"unknown dialect {name!r}; known: {sorted(_REGISTRY)}")
     return _REGISTRY[name]
+
+
+# ---------------------------------------------------------------------------
+# Installed styles (the reference's S7 `lexor install` surface,
+# `lexor/command/install.py:41-110`: a style IS a Python module; install
+# loads it, validates its metadata and copies it into a discovered
+# styles directory; consumers then resolve it by name). Re-expressed:
+# a style module defines a module-level ``DIALECT`` (or ``DIALECTS``
+# list) of :class:`Dialect` objects; `install_style` validates-by-
+# loading then copies it under the styles dir; `get_dialect` falls
+# back to the search path on a registry miss — which is also how Ray
+# WORKER processes resolve a plugin dialect (they receive only the
+# dialect NAME in task args and re-load from the shared filesystem;
+# on a multi-node cluster ship the styles dir via runtime_env or a
+# shared mount).
+
+
+def styles_search_path() -> list[str]:
+    """``$LEXOR_RAY_STYLE_PATH`` (colon-separated) then
+    ``~/.lexor_ray/styles`` — the reference's user-site install dir
+    surface (``install.py:135-163``)."""
+    import os
+
+    out = []
+    env = os.environ.get("LEXOR_RAY_STYLE_PATH")
+    if env:
+        out.extend(p for p in env.split(":") if p)
+    out.append(os.path.join(os.path.expanduser("~"), ".lexor_ray", "styles"))
+    return out
+
+
+def load_style_file(path: str) -> list[Dialect]:
+    """Exec one style module (the reference used ``imp.load_source``,
+    ``install.py:43``) and register its ``DIALECT``/``DIALECTS``."""
+    import importlib.util
+    import os
+
+    modname = "lexor_ray_style_" + os.path.splitext(os.path.basename(path))[0]
+    spec = importlib.util.spec_from_file_location(modname, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    dialects: list[Dialect] = []
+    if hasattr(mod, "DIALECT"):
+        dialects.append(mod.DIALECT)
+    dialects.extend(getattr(mod, "DIALECTS", ()) or ())
+    if not dialects:
+        raise ValueError(
+            f"style module {path!r} defines no DIALECT/DIALECTS"
+        )
+    for d in dialects:
+        if not isinstance(d, Dialect):
+            raise TypeError(f"{path!r}: DIALECT entries must be Dialect objects")
+        register_dialect(d)
+    return dialects
+
+
+def install_style(src: str, styles_dir: str | None = None) -> str:
+    """Validate-by-loading then copy a style module into the styles
+    dir (named after its primary dialect), so every later process —
+    including Ray workers — resolves it by name. Returns the installed
+    path. (Reference ``install_style``, ``install.py:41-76``.)"""
+    import os
+    import shutil
+
+    dialects = load_style_file(src)
+    # install into the FIRST search-path entry ($LEXOR_RAY_STYLE_PATH
+    # when configured, else the user dir) — the reference's
+    # --path/--user install-dir precedence
+    dst_dir = styles_dir or styles_search_path()[0]
+    os.makedirs(dst_dir, exist_ok=True)
+    dst = os.path.join(dst_dir, f"{dialects[0].name}.py")
+    if os.path.abspath(src) != os.path.abspath(dst):
+        shutil.copyfile(src, dst)
+    return dst
+
+
+def _discover_style(name: str) -> bool:
+    """Registry-miss fallback: look for ``<name>.py`` on the styles
+    search path, then scan remaining style modules."""
+    import os
+
+    for d in styles_search_path():
+        cand = os.path.join(d, f"{name}.py")
+        if os.path.exists(cand):
+            try:
+                load_style_file(cand)
+            except Exception:
+                continue
+            if name in _REGISTRY:
+                return True
+    for d in styles_search_path():
+        if not os.path.isdir(d):
+            continue
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".py"):
+                try:
+                    load_style_file(os.path.join(d, f))
+                except Exception:
+                    continue
+                if name in _REGISTRY:
+                    return True
+    return False

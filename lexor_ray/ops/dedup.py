@@ -533,14 +533,109 @@ def _shingle_strings(text: str, k: int = 3) -> set:
     return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
 
 
+def _bucket_shingle_overlap(bucket: pd.DataFrame, k: int) -> pd.DataFrame:
+    """ONE vectorized pandas pass per coarse bucket (no per-pair
+    Python dispatch — the BENCH/BASELINE.md `coarse_apply` shape):
+    build every document's STRING shingles via shifted-array concat,
+    de-dup per (pair, doc, shingle), then count intersection as
+    shingles present in BOTH docs of a pair (C-level groupby sizes)."""
+    empty = pd.DataFrame(
+        {
+            "a": pd.Series([], dtype="int64"),
+            "b": pd.Series([], dtype="int64"),
+            "inter_size": pd.Series([], dtype="int64"),
+            "union_size": pd.Series([], dtype="int64"),
+        }
+    )
+    if len(bucket) == 0:
+        return empty
+    df = bucket.sort_values(["pair_id", "doc_id"], kind="mergesort").reset_index(
+        drop=True
+    )
+    # complete (even, even+1) pairs only
+    sizes = df.groupby("pair_id", sort=False)["doc_id"].transform("size")
+    lo = df.groupby("pair_id", sort=False)["doc_id"].transform("min")
+    df = df[(sizes == 2) & (lo % 2 == 0) & (df["doc_id"] - lo <= 1)]
+    if len(df) == 0:
+        return empty
+    words = df["text"].fillna("").str.split()
+    nw = words.map(len).to_numpy()
+    flat = np.concatenate(
+        [np.asarray(w, dtype=object) for w in words]
+    ) if len(words) else np.empty(0, dtype=object)
+    row_of = np.repeat(np.arange(len(df)), nw)
+    # k-gram strings via shifted concat (same strings as
+    # _shingle_strings → same SQL parity); short docs (0<L<k) keep
+    # their single join-of-all-words gram
+    grams_parts, rows_parts = [], []
+    W = len(flat)
+    if W >= k:
+        valid = row_of[: W - k + 1] == row_of[k - 1 :]
+        if valid.any():
+            g = flat[: W - k + 1][valid]
+            for j in range(1, k):
+                g = g + " " + flat[j : W - k + 1 + j][valid]
+            grams_parts.append(g)
+            rows_parts.append(row_of[: W - k + 1][valid])
+    short = (nw > 0) & (nw < k)
+    if short.any():
+        for ri in np.flatnonzero(short):
+            grams_parts.append(
+                np.array([" ".join(words.iloc[ri])], dtype=object)
+            )
+            rows_parts.append(np.array([ri]))
+    if not grams_parts:
+        # every doc empty: inter == union == 0-sized sets; pandas
+        # semantics give empty shingle sets for both docs
+        pr = df.groupby("pair_id", sort=False)["doc_id"]
+        return pd.DataFrame(
+            {
+                "a": pr.min().to_numpy().astype("int64"),
+                "b": pr.max().to_numpy().astype("int64"),
+                "inter_size": 0,
+                "union_size": 0,
+            }
+        )
+    sh = pd.DataFrame(
+        {
+            "row": np.concatenate(rows_parts),
+            "gram": np.concatenate(grams_parts),
+        }
+    ).drop_duplicates()
+    pair_ids = df["pair_id"].to_numpy()
+    doc_ids = df["doc_id"].to_numpy().astype("int64")
+    sh["pair"] = pair_ids[sh["row"].to_numpy()]
+    # per (pair, gram): in how many of the pair's two docs does it
+    # appear? (1 → union only, 2 → intersection too)
+    occ = sh.groupby(["pair", "gram"], sort=False).size()
+    inter = (
+        occ[occ == 2].groupby(level="pair").size()
+        if (occ == 2).any()
+        else pd.Series(dtype="int64")
+    )
+    union = occ.groupby(level="pair").size()
+    pr = pd.DataFrame(
+        {
+            "a": pd.Series(doc_ids).groupby(pair_ids, sort=False).min(),
+            "b": pd.Series(doc_ids).groupby(pair_ids, sort=False).max(),
+        }
+    )
+    pr["inter_size"] = inter.reindex(pr.index).fillna(0).astype("int64")
+    pr["union_size"] = union.reindex(pr.index).fillna(0).astype("int64")
+    return pr.reset_index(drop=True).astype(
+        {"a": "int64", "b": "int64"}
+    )
+
+
 def shingle_overlap_pairs(sf_dir: str, k: int = 3):
     """Exact shingle-set overlap for a deterministic pair rule (every
     even doc_id paired with its successor): (a, b, inter_size,
     union_size) — the n-gram-Jaccard verify kernel in a fully
     SQL-checkable form (integer set sizes; Jaccard = inter/union).
-    Scale shape: pair_id = doc_id // 2 is the shuffle key, shingle
-    sets are built inside the group fn — one coarse hash-bucket
-    shuffle, no driver materialization."""
+    Scale shape: pair_id = doc_id // 2 is the shuffle key and the
+    whole bucket is processed in ONE vectorized pandas pass
+    (`coarse_apply`; the per-pair-Python `coarse_grouped` shape this
+    replaced was the last user of that deprecated pattern)."""
     ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
     def add_pair(batch: pa.Table) -> pa.Table:
@@ -549,36 +644,14 @@ def shingle_overlap_pairs(sf_dir: str, k: int = 3):
             "pair_id", pa.array((ids // 2).astype("int64"))
         )
 
-    def overlap(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "a": pd.Series([], dtype="int64"),
-                "b": pd.Series([], dtype="int64"),
-                "inter_size": pd.Series([], dtype="int64"),
-                "union_size": pd.Series([], dtype="int64"),
-            }
-        )
-        if len(g) < 2:
-            return empty
-        g = g.sort_values("doc_id")
-        a_id, b_id = int(g["doc_id"].iloc[0]), int(g["doc_id"].iloc[1])
-        if b_id != a_id + 1 or a_id % 2 != 0:
-            return empty
-        sa = _shingle_strings(g["text"].iloc[0], k)
-        sb = _shingle_strings(g["text"].iloc[1], k)
-        return pd.DataFrame(
-            {
-                "a": [a_id],
-                "b": [b_id],
-                "inter_size": [len(sa & sb)],
-                "union_size": [len(sa | sb)],
-            }
-        )
+    import functools
 
-    from .util import coarse_grouped
+    from .util import coarse_apply
 
     paired = ds.map_batches(add_pair, batch_format="pyarrow")
-    return coarse_grouped(paired, ["pair_id"], overlap, min_group_size=2).sort("a")
+    return coarse_apply(
+        paired, ["pair_id"], functools.partial(_bucket_shingle_overlap, k=k)
+    ).sort("a")
 
 
 def jaccard(a_text: str, b_text: str, k: int = 3) -> float:

@@ -92,6 +92,51 @@ def test_cli_multi_target_with_style_parameter(tmp_path, capsys):
     assert "bold" in txt["extracted_text"]
 
 
+_STYLE_SRC = '''
+"""Test style plugin: html parse, but the text converter also drops
+any element carrying class "spoiler" (a user-site dialect — the
+reference's S7 install surface)."""
+from dataclasses import replace
+
+from lexor_ray.dialects.registry import get_dialect
+
+_base = get_dialect("html-text")
+DIALECT = replace(
+    _base,
+    name="html-nospoiler",
+    drop_classes=_base.drop_classes | {"spoiler"},
+)
+'''
+
+
+def test_style_install_and_discovery(tmp_path, monkeypatch, capsys):
+    """S7 (`lexor install`): installing a style module makes its
+    dialect resolvable BY NAME in any later call — including the CLI
+    and extract_one — via the styles search path."""
+    import lexor_ray.dialects.registry as reg
+    from lexor_ray.__main__ import main
+    from lexor_ray.extract import extract_one
+
+    src = tmp_path / "mystyle.py"
+    src.write_text(_STYLE_SRC)
+    styles = tmp_path / "styles"
+    monkeypatch.setenv("LEXOR_RAY_STYLE_PATH", str(styles))
+
+    assert main(["--install", str(src)]) == 0
+    installed = capsys.readouterr().out.strip()
+    assert installed.endswith("html-nospoiler.py")
+    # simulate a FRESH process (worker-side resolution): wipe the
+    # in-process registration and resolve purely via the search path
+    reg._REGISTRY.pop("html-nospoiler", None)
+    d = reg.get_dialect("html-nospoiler")
+    assert "spoiler" in d.drop_classes
+    res = extract_one(
+        '<p>keep</p>\n<div class="spoiler">drop me</div>',
+        dialect="html-nospoiler",
+    )
+    assert res["extracted_text"] == "keep\n"
+
+
 def test_cli_config_file_merge_chain(tmp_path, capsys, monkeypatch):
     """Config-file section values override module DEFAULTS and are in
     turn overridden by CLI style parameters (the reference's
