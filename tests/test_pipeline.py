@@ -265,6 +265,92 @@ def test_golden_markdown_matches_engine():
         assert to_markdown(t) == want[(c, i)], (c, i, t[:120])
 
 
+def test_markdown_compose_structure_fuzz():
+    """Randomized STRUCTURE fuzz of the markdown composition rules:
+    part kinds in adversarial orders the corpus generator never emits
+    (lists first, images first, consecutive unclosed parts, unclosed
+    blockquotes followed by pre/list, boilerplate between paragraphs).
+    _compose_md's spec semantics must match the real writer on every
+    ordering."""
+    import numpy as np
+
+    from lexor_ray.dialects.markdown import to_markdown
+    from lexor_ray.transcripts import _compose_md
+
+    rng = np.random.default_rng(20260817)
+    words = "alpha beta gamma delta epsilon zeta".split()
+
+    def sent(lo=1, hi=6):
+        n = int(rng.integers(lo, hi))
+        return " ".join(words[int(rng.integers(0, len(words)))] for _ in range(n))
+
+    def one_part():
+        kind = ["para", "quote", "list", "img", "pre", "drop", "boiler",
+                "unclosed", "w100", "w101"][int(rng.integers(0, 10))]
+        tag = ["p", "div", "section"][int(rng.integers(0, 3))]
+        inner = sent()
+        inner_md = inner
+        deco = rng.random()
+        if deco < 0.25:
+            s1 = sent(1, 3)
+            inner = f"{inner} <b>{s1}</b>"
+            inner_md = f"{inner_md} **{s1}**"
+        elif deco < 0.4:
+            s1 = sent(1, 3)
+            inner = f'{inner} <a href="http://x/9">{s1}</a>'
+            inner_md = f"{inner_md} [{s1}](http://x/9)"
+        elif deco < 0.5:
+            inner = f"{inner} &amp; &lt;z&gt;"
+            inner_md = f"{inner_md} & <z>"
+        if kind == "para":
+            return f"<{tag}>{inner}</{tag}>", ("para", inner_md, True)
+        if kind == "quote":
+            return f"<blockquote>{inner}</blockquote>", ("quote", inner_md, True)
+        if kind == "list":
+            items = [sent(1, 4) for _ in range(int(rng.integers(1, 4)))]
+            return (
+                "<ul>" + "".join(f"<li>{s}</li>" for s in items) + "</ul>",
+                ("list", items),
+            )
+        if kind == "img":
+            return '<img src="i.png" alt="A b">', ("img", "i.png", "A b")
+        if kind == "pre":
+            d = sent(2, 6)
+            return f"<pre>{d}</pre>", ("pre", d)
+        if kind == "drop":
+            return [
+                "<!DOCTYPE html>",
+                f"<!-- {sent()} -->",
+                f"<script>var q={int(rng.integers(0,99))};</script>",
+                f"<?pi {sent(1,3)} ?>",
+            ][int(rng.integers(0, 4))], ("drop",)
+        if kind == "boiler":
+            b = sent(2, 5)
+            return f'<div class="ad wide">{b}</div>', ("para", b, True)
+        if kind == "unclosed":
+            if rng.random() < 0.4:
+                return f"<blockquote>{inner}", ("quote", inner_md, False)
+            return f"<{tag}>{inner}", ("para", inner_md, False)
+        if kind == "w100":
+            return f"<{tag}><span>{inner}</{tag}>", ("para", inner_md, True)
+        return f"<{tag}>{inner}</{tag}></em>", ("para", inner_md, True)
+
+    bad = 0
+    for _ in range(400):
+        n = int(rng.integers(1, 7))
+        parts, specs = zip(*(one_part() for _ in range(n)))
+        text = "\n".join(parts)
+        want = _compose_md(list(specs))
+        got = to_markdown(text)
+        if got != want:
+            bad += 1
+            if bad <= 3:
+                print("SRC:", repr(text))
+                print("GOT:", repr(got))
+                print("WANT:", repr(want))
+    assert bad == 0
+
+
 def test_run_extraction_concurrent_chunks(ray_session, small_dir, tmp_path):
     """Overlapped chunk pipelines (max_in_flight=4) produce the same
     output as sequential, and resume under concurrency still skips
