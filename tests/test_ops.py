@@ -222,6 +222,46 @@ def test_bmp_roundtrip_and_real_decode(ray_session):
     assert feats[2] == 9 * 13
 
 
+def test_ann_recall_gate(ray_session):
+    """The combined ANN recall gate emits one row per (algo, query)
+    with recall_ok True for both index families at the default
+    bound."""
+    from lexor_ray.ops.similarity import ann_recall
+
+    got = df(ann_recall(SF))
+    assert sorted(got["algo"].unique()) == ["ivf", "lsh"]
+    assert len(got) == 20
+    assert got["recall_ok"].all()
+
+
+def test_media_pipeline_consistent_with_components(ray_session):
+    """The fused media_pipeline row equals the three component ops it
+    records for (features' n_bytes, frame_sample counts, resize
+    checksums)."""
+    from lexor_ray.ops.multimodal import (
+        frame_sample,
+        media_features,
+        media_pipeline,
+        resize_media,
+    )
+
+    fused = df(media_pipeline(SF)).set_index("doc_id")
+    feats = df(media_features(SF)).set_index("doc_id")
+    frames = df(frame_sample(SF)).groupby("doc_id").size()
+    resized = df(resize_media(SF)).set_index("doc_id")
+    assert (fused["n_bytes"] == feats["n_bytes"]).all()
+    assert (
+        fused["n_frames_sampled"]
+        == frames.reindex(fused.index).fillna(0).astype("int64")
+    ).all()
+    assert (fused["resize_checksum"] == resized["checksum"]).all()
+    # feat_mean mirrors the decoder's first feature (rounded)
+    import numpy as np
+
+    f0 = feats["features"].map(lambda v: float(np.round(v[0], 3)))
+    assert np.allclose(fused["feat_mean"], f0, atol=1e-6)
+
+
 def test_png_roundtrip_and_all_filters(ray_session):
     """encode_png → decode_png is the identity, and the decoder's
     unfilter handles all five PNG filter types (a hand-built IDAT

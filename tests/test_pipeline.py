@@ -99,6 +99,30 @@ def test_run_extraction_resumable(ray_session, small_dir, tmp_path):
     assert "span_checksum_xor" in rec
 
 
+def test_resume_rejects_stale_fragment_identity(ray_session, small_dir, tmp_path):
+    """A manifest whose recorded input-fragment list no longer matches
+    the chunk (input set changed between runs) must NOT be skipped —
+    fragment identity is part of the resume contract (north rule:
+    lineage carries 'input fragment identity')."""
+    import json
+
+    out_dir = str(tmp_path / "out_frag")
+    s1 = run_extraction(small_dir, out_dir, files_per_chunk=1, concurrency=2)
+    parts = sorted(os.listdir(os.path.join(out_dir, "manifest")))
+    victim = os.path.join(out_dir, "manifest", parts[0])
+    with open(victim) as fh:
+        rec = json.load(fh)
+    rec["inputs"] = ["/somewhere/else.parquet"]
+    with open(victim, "w") as fh:
+        json.dump(rec, fh)
+    s2 = run_extraction(small_dir, out_dir, files_per_chunk=1, concurrency=2)
+    # the tampered chunk is reprocessed, the rest skipped
+    assert s2["chunks_skipped"] == s2["chunks_total"] - 1
+    assert s2["rows"] == s1["rows"]
+    with open(victim) as fh:
+        assert json.load(fh)["inputs"] != ["/somewhere/else.parquet"]
+
+
 def test_resume_after_crash_with_stale_tmp(ray_session, small_dir, tmp_path):
     """A run killed mid-chunk leaves a .tmp dir and no manifest entry;
     the rerun must clean it up and produce the complete output."""
