@@ -222,6 +222,20 @@ def test_bmp_roundtrip_and_real_decode(ray_session):
     assert feats[2] == 9 * 13
 
 
+def test_minhash_dedup_tiers_identical_on_corpus(ray_session):
+    """The distributed doc_id-join verify tier (small_limit=0) must
+    produce row-identical output to the measured-small broadcast tier
+    on the real corpus — the claim that lets the broadcast tier stand
+    in for the 100-TB join path at checked scales."""
+    from lexor_ray.ops.dedup import minhash_dedup
+
+    small = df(minhash_dedup(SF, threshold=0.8)).sort_values(
+        ["a", "b"]).reset_index(drop=True)
+    dist = df(minhash_dedup(SF, threshold=0.8, small_limit=0)).sort_values(
+        ["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(small, dist)
+
+
 def test_ann_recall_gate(ray_session):
     """The combined ANN recall gate emits one row per (algo, query)
     with recall_ok True for both index families at the default
