@@ -55,6 +55,45 @@ def test_corpus():
     assert not failures, failures
 
 
+def test_msg_example_helper_surface():
+    """The public style-author test helpers (lexor_ray.testing) run
+    the reference's docstring-labeled example format end-to-end —
+    including against a style module's own examples."""
+    from lexor_ray.testing import (
+        assert_msg_examples,
+        compare_with,
+        find_failed,
+        parse_msg_examples,
+        parse_write_roundtrip,
+    )
+
+    EXAMPLES = """
+    The node parser accepts balanced elements.
+
+    Okay: <node></node>
+    Okay: <br>
+    E100: <node>
+    W101: </stray>
+    W100: <a><p>stuff</a>
+    """
+    pairs = parse_msg_examples(EXAMPLES)
+    assert ("<node></node>", None) in pairs
+    assert ("<node>", "E100") in pairs
+    assert_msg_examples("html", EXAMPLES)
+    # a deliberately wrong expectation must be reported, not swallowed
+    bad = find_failed([("<node></node>", "E100")], "html")
+    assert len(bad) == 1
+    # golden roundtrip + diff-friendly compare
+    out = parse_write_roundtrip("<p>x</p>", "html")
+    compare_with(out, out)
+    try:
+        compare_with("a\nb", "a\nc")
+    except AssertionError as exc:
+        assert "strings differ" in str(exc)
+    else:
+        raise AssertionError("compare_with must raise on mismatch")
+
+
 def test_autoclose_cascade_order():
     """W100 fires innermost-first when an outer close forces the
     cascade (parser.py:357-383)."""
