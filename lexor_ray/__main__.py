@@ -224,6 +224,13 @@ def main(argv=None) -> int:
         "(the reference's `lexor document` command) and exit",
     )
     ap.add_argument(
+        "--list",
+        action="store_true",
+        dest="list_dialects",
+        help="list registered and installed dialects (the reference's "
+        "`lexor lang` display, lexor/command/lang.py:140-173) and exit",
+    )
+    ap.add_argument(
         "--install",
         metavar="STYLE.py",
         help="install a style module (a Python file defining DIALECT/"
@@ -256,6 +263,26 @@ def main(argv=None) -> int:
     ap.add_argument("--out", help="output dir for --table mode")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
+
+    if args.list_dialects:
+        import os
+
+        from .dialects.registry import (
+            _REGISTRY,
+            get_dialect,
+            styles_search_path,
+        )
+
+        get_dialect("html")  # force built-in registration
+        for name in sorted(_REGISTRY):
+            d = _REGISTRY[name]
+            print(f"{name}\tlang={d.lang}\tbuilt-in")
+        for sdir in styles_search_path():
+            if os.path.isdir(sdir):
+                for f in sorted(os.listdir(sdir)):
+                    if f.endswith(".py"):
+                        print(f"{f[:-3]}\tinstalled\t{os.path.join(sdir, f)}")
+        return 0
 
     if args.install:
         from .dialects.registry import install_style

@@ -137,6 +137,21 @@ def test_style_install_and_discovery(tmp_path, monkeypatch, capsys):
     assert res["extracted_text"] == "keep\n"
 
 
+def test_cli_list_dialects(tmp_path, monkeypatch, capsys):
+    """--list shows built-ins and installed styles (the reference's
+    `lexor lang` display)."""
+    from lexor_ray.__main__ import main
+
+    styles = tmp_path / "styles"
+    styles.mkdir()
+    (styles / "myd.py").write_text(_STYLE_SRC)
+    monkeypatch.setenv("LEXOR_RAY_STYLE_PATH", str(styles))
+    assert main(["--list"]) == 0
+    out = capsys.readouterr().out
+    assert "html-text\tlang=html\tbuilt-in" in out
+    assert "myd\tinstalled" in out
+
+
 def test_cli_config_file_merge_chain(tmp_path, capsys, monkeypatch):
     """Config-file section values override module DEFAULTS and are in
     turn overridden by CLI style parameters (the reference's
