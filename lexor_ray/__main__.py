@@ -349,8 +349,19 @@ def main(argv=None) -> int:
 
     _kind = {"markdown": "writer", "xml": "writer", "text": "converter"}
     cfg = read_config()
+    # the config section is keyed by the STYLE (an explicit CLI
+    # style= parameter names a sub-style; default: the target itself),
+    # matching the reference's '{lang}-{kind}-{style}' key shape —
+    # --to 'markdown[style=custom]' consults [html-writer-custom]
     targets = [
-        (to, style_defaults(f"{lang}-{_kind.get(to, 'writer')}-{to}", params, cfg))
+        (
+            to,
+            style_defaults(
+                f"{lang}-{_kind.get(to, 'writer')}-{params.get('style', to)}",
+                params,
+                cfg,
+            ),
+        )
         for to, params in targets
     ]
     import os

@@ -198,24 +198,29 @@ def _discover_style(name: str) -> bool:
     search path, then scan remaining style modules."""
     import os
 
+    import warnings
+
+    def _try(path: str) -> bool:
+        try:
+            load_style_file(path)
+        except Exception as exc:  # noqa: BLE001
+            # a broken installed style must be VISIBLE, not a bare
+            # 'unknown dialect' later (r3 review finding)
+            warnings.warn(
+                f"installed style {path!r} failed to load: {exc!r}",
+                stacklevel=3,
+            )
+            return False
+        return name in _REGISTRY
+
     for d in styles_search_path():
         cand = os.path.join(d, f"{name}.py")
-        if os.path.exists(cand):
-            try:
-                load_style_file(cand)
-            except Exception:
-                continue
-            if name in _REGISTRY:
-                return True
+        if os.path.exists(cand) and _try(cand):
+            return True
     for d in styles_search_path():
         if not os.path.isdir(d):
             continue
         for f in sorted(os.listdir(d)):
-            if f.endswith(".py"):
-                try:
-                    load_style_file(os.path.join(d, f))
-                except Exception:
-                    continue
-                if name in _REGISTRY:
-                    return True
+            if f.endswith(".py") and _try(os.path.join(d, f)):
+                return True
     return False

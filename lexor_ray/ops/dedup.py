@@ -88,7 +88,7 @@ _GRAM_MIX = np.array(
 _U64_MAX = np.iinfo(np.uint64).max
 
 
-def _batch_word_hashes(text_col, k: int):
+def _batch_word_hashes(text_col):
     """Vectorized tokenize+hash for a whole Arrow batch: ONE
     ``utf8_split_whitespace`` kernel, ONE ``pd.util.hash_array`` pass
     over the flat word array. Returns ``(wh, doc_of, lens)`` — uint64
@@ -127,7 +127,7 @@ def _batch_minhash_sigs(
     per-document minima come from ``np.minimum.reduceat`` segment
     reduction. Documents with no words keep the U64_MAX sentinel
     (same contract as the old per-doc path)."""
-    wh, doc_of, lens = _batch_word_hashes(text_col, k)
+    wh, doc_of, lens = _batch_word_hashes(text_col)
     n = len(lens)
     P = len(a)
     sigs = np.full((n, P), _U64_MAX, dtype=np.uint64)
@@ -186,6 +186,11 @@ class MinHashSignatures:
     vectorized (``_batch_minhash_sigs``), no per-document Python."""
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 3, bands: int = 16):
+        if shingle_k > len(_GRAM_MIX):
+            raise ValueError(
+                f"shingle_k={shingle_k} exceeds the {len(_GRAM_MIX)} "
+                "mixing constants in _GRAM_MIX — extend the table"
+            )
         self.a, self.b = _minhash_params(num_perm)
         self.k = shingle_k
         self.bands = bands
@@ -301,7 +306,20 @@ def _bucket_pair_expansion(bucket: pd.DataFrame) -> pd.DataFrame:
         mask = sizes == s
         mat = ids[mask].reshape(-1, s)  # rows are sorted within group
         if s > _BUCKET_STAR_CAP:
-            # star to the (sorted-first = min) doc_id per group
+            # star to the (sorted-first = min) doc_id per group —
+            # LOGGED because above the cap the emitted pair set is
+            # connectivity-only, no longer the exact all-pairs set
+            # (minhash_dedup documents this degradation)
+            import logging
+
+            logging.getLogger("lexor_ray.dedup").warning(
+                "LSH star-cap engaged: %d bucket(s) of size %d emit "
+                "min-id stars (cap=%d); in-bucket candidate pairs are "
+                "connectivity-only at this duplicate density",
+                mat.shape[0],
+                s,
+                _BUCKET_STAR_CAP,
+            )
             out_a.append(np.repeat(mat[:, 0], s - 1))
             out_b.append(mat[:, 1:].reshape(-1))
             continue
@@ -454,9 +472,13 @@ def _pairs_with_jaccard(sf_dir: str, threshold: float | None, small_limit=None):
     and estimated broadcast BYTES — mean text size × 2·n_pairs)."""
     if small_limit is None:
         small_limit = _SMALL_PAIR_LIMIT
-    # cross-band duplicate pairs ride through (≤ bands× overcount —
-    # conservative for the tier gate) and are deduped per tier below,
-    # saving one all-to-all shuffle on this hot path
+    # cross-band duplicate pairs ride through and are deduped per tier
+    # below, saving one all-to-all shuffle on this hot path. The tier
+    # gate therefore sees an OVERCOUNT (up to bands× for a corpus of
+    # exact duplicates) — a duplicate-dense mid-size corpus may take
+    # the distributed join tier earlier than strictly necessary, which
+    # errs on the safe (driver-protecting) side; both tiers are
+    # asserted row-identical in tests either way.
     cand = minhash_lsh_candidates(sf_dir, dedup_pairs=False).materialize()
     n = cand.count()
     if n == 0:
@@ -675,7 +697,16 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8, small_limit=None):
     hash-partitioned on the join key, no stage holds the corpus in one
     place); when the materialized candidate count is verifiably small
     the cheaper semi-join-filter + compact broadcast tier runs
-    instead."""
+    instead.
+
+    Contract caveat at extreme duplicate density: an LSH bucket larger
+    than ``_BUCKET_STAR_CAP`` emits a min-doc_id STAR instead of the
+    full O(k²) expansion (worker-memory protection), so in-bucket
+    pairs beyond the star are not verified/emitted — connectivity for
+    :func:`dedup_clusters` is preserved and the event is LOGGED
+    (`lexor_ray.dedup` logger). The cap never engages at the oracle-
+    checked scales, where the output equals the exact all-pairs
+    thresholded set."""
     return _pairs_with_jaccard(sf_dir, threshold=threshold, small_limit=small_limit)
 
 

@@ -135,29 +135,43 @@ def decode_png(data: bytes) -> np.ndarray:
         prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
         if f == 0:
             pass
-        elif f == 1:  # Sub — sequential in x, vector over channels
-            for i in range(bpp, stride):
-                cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
+        elif f == 1:  # Sub — per-channel prefix sum mod 256 (vectorized)
+            cur = (
+                lines[y, 1:]
+                .reshape(w, bpp)
+                .astype(np.int64)
+                .cumsum(axis=0)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
         elif f == 2:  # Up — fully vectorized (uint8 wraparound)
             cur = cur + prev
-        elif f == 3:  # Average
-            for i in range(stride):
-                left = int(cur[i - bpp]) if i >= bpp else 0
-                cur[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = int(cur[i - bpp]) if i >= bpp else 0
-                b = int(prev[i])
-                c = int(prev[i - bpp]) if i >= bpp else 0
-                p = a + b - c
-                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
-                if pa_ <= pb_ and pa_ <= pc_:
-                    pred = a
-                elif pb_ <= pc_:
-                    pred = b
-                else:
-                    pred = c
-                cur[i] = (int(cur[i]) + pred) & 0xFF
+        elif f == 3:  # Average — sequential in x, channel-vectorized
+            cur2 = cur.reshape(w, bpp).astype(np.int64)
+            prev2 = prev.reshape(w, bpp).astype(np.int64)
+            left = np.zeros(bpp, dtype=np.int64)
+            for x in range(w):
+                left = (cur2[x] + ((left + prev2[x]) >> 1)) & 0xFF
+                cur2[x] = left
+            cur = cur2.astype(np.uint8).reshape(stride)
+        elif f == 4:  # Paeth — sequential in x, channel-vectorized
+            cur2 = cur.reshape(w, bpp).astype(np.int64)
+            prev2 = prev.reshape(w, bpp).astype(np.int64)
+            left = np.zeros(bpp, dtype=np.int64)
+            ul = np.zeros(bpp, dtype=np.int64)
+            for x in range(w):
+                b = prev2[x]
+                p = left + b - ul
+                pa_, pb_, pc_ = abs(p - left), abs(p - b), abs(p - ul)
+                pred = np.where(
+                    (pa_ <= pb_) & (pa_ <= pc_),
+                    left,
+                    np.where(pb_ <= pc_, b, ul),
+                )
+                left = (cur2[x] + pred) & 0xFF
+                cur2[x] = left
+                ul = b
+            cur = cur2.astype(np.uint8).reshape(stride)
         else:
             raise ValueError(f"bad PNG filter {f}")
         out[y] = cur
@@ -211,6 +225,18 @@ def synthesize_media(sf_dir: str):
     return ds.map_batches(make, batch_format="pyarrow")
 
 
+def decode_image(payload: bytes, media_type: str, w: int, h: int) -> np.ndarray:
+    """Single media-type → pixel-array dispatch shared by every stage
+    (decode features / resize / fused pipeline — previously three
+    copy-pasted dispatch sites): real decode for BMP/PNG, the
+    documented fake-payload reshape otherwise."""
+    if media_type == "image/bmp":
+        return decode_bmp(payload)
+    if media_type == "image/png":
+        return decode_png(payload)
+    return np.frombuffer(payload, dtype=np.uint8).reshape(h, w)
+
+
 class StubDecoder:
     """Mixed-codec decoder stage. ``image/bmp`` and ``image/png``
     payloads get a REAL decode (:func:`decode_bmp` /
@@ -227,22 +253,23 @@ class StubDecoder:
     def __init__(self, feature_dim: int = 4) -> None:
         self.feature_dim = feature_dim
 
+    def features_from_pixels(self, pix: np.ndarray, payload: bytes) -> np.ndarray:
+        """Feature vector from an already-decoded pixel array — lets
+        fused stages decode ONCE and reuse the pixels."""
+        return np.array(
+            [
+                float(pix.mean()),
+                float(pix.std()),
+                float(pix.shape[0] * pix.shape[1]),
+                float(zlib.crc32(payload) % 1_000_000),
+            ],
+            dtype=np.float32,
+        )
+
     def decode_features(self, payload: bytes, media_type: str) -> np.ndarray:
         if media_type in self.REAL_DECODE:
-            pix = (
-                decode_bmp(payload)
-                if media_type == "image/bmp"
-                else decode_png(payload)
-            )
-            return np.array(
-                [
-                    float(pix.mean()),
-                    float(pix.std()),
-                    float(pix.shape[0] * pix.shape[1]),
-                    float(zlib.crc32(payload) % 1_000_000),
-                ],
-                dtype=np.float32,
-            )
+            pix = decode_image(payload, media_type, 0, 0)
+            return self.features_from_pixels(pix, payload)
         if media_type not in ("image/fake",):
             raise NotImplementedError(
                 f"no codec for {media_type!r} in this environment"
@@ -345,12 +372,7 @@ def resize_media(sf_dir: str, out_w: int = 4, out_h: int = 4):
             batch.column("width").to_pylist(),
             batch.column("height").to_pylist(),
         ):
-            if m == "image/bmp":
-                img = decode_bmp(p)  # (h, w, 3) — real decode
-            elif m == "image/png":
-                img = decode_png(p)
-            else:
-                img = np.frombuffer(p, dtype=np.uint8).reshape(h, w)
+            img = decode_image(p, m, w, h)
             yi = (np.arange(out_h) * h) // out_h
             xi = (np.arange(out_w) * w) // out_w
             small = img[np.ix_(yi, xi)]
@@ -389,14 +411,16 @@ def media_pipeline(sf_dir: str, frame_bytes: int = 16, every_k: int = 4,
             batch.column("height").to_pylist(),
         ):
             n_bytes.append(len(p))
-            feat_mean.append(float(np.round(dec.decode_features(p, m)[0], 3)))
             n_frames.append(len(range(0, len(p) // frame_bytes, every_k)))
-            if m == "image/bmp":
-                img = decode_bmp(p)
-            elif m == "image/png":
-                img = decode_png(p)
+            # decode ONCE; features and the resize checksum both come
+            # from the same pixel array (this stage's whole point is
+            # one fused scan)
+            img = decode_image(p, m, w, h)
+            if m in StubDecoder.REAL_DECODE:
+                feats = dec.features_from_pixels(img, p)
             else:
-                img = np.frombuffer(p, dtype=np.uint8).reshape(h, w)
+                feats = dec.decode_features(p, m)
+            feat_mean.append(float(np.round(feats[0], 3)))
             yi = (np.arange(out_h) * h) // out_h
             xi = (np.arange(out_w) * w) // out_w
             checks.append(int(img[np.ix_(yi, xi)].sum()))
