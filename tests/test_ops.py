@@ -222,6 +222,37 @@ def test_bmp_roundtrip_and_real_decode(ray_session):
     assert feats[2] == 9 * 13
 
 
+def test_minhash_star_cap_preserves_connectivity(ray_session, tmp_path):
+    """A duplicate-dense corpus (2000 identical docs → LSH buckets far
+    above _BUCKET_STAR_CAP) must still come out as ONE cluster: the
+    star expansion keeps connectivity while bounding pair count to
+    O(k) per bucket."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lexor_ray.ops import dedup
+
+    n = 2000
+    text = "the quick brown fox jumps over the lazy dog " * 8
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), type=pa.int64()),
+            "text": pa.array([text] * n),
+        }
+    )
+    os.makedirs(tmp_path / "dup", exist_ok=True)
+    pq.write_table(t, str(tmp_path / "dup" / "documents.parquet"))
+    cand = dedup.minhash_lsh_candidates(str(tmp_path / "dup")).to_pandas()
+    # star-capped: far fewer than the full O(n²)=2M pairs per band
+    assert len(cand) < 16 * 2 * n
+    clusters = dedup.dedup_clusters(str(tmp_path / "dup"), threshold=0.8)
+    cdf = clusters.to_pandas() if hasattr(clusters, "to_pandas") else clusters
+    assert set(cdf["cluster_id"]) == {0}
+    assert len(cdf) == n
+
+
 def test_minhash_dedup_tiers_identical_on_corpus(ray_session):
     """The distributed doc_id-join verify tier (small_limit=0) must
     produce row-identical output to the measured-small broadcast tier
