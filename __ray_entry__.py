@@ -50,10 +50,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     lsh/ivf_ann_topk → ann_recall (now oracle-gated),
     media_features/frame_sample/resize_media → media_pipeline,
     turns_per_conversation → conversation_stats_salted (identical
-    output + SQL; the plain variant stays tested in pytest)."""
+    output + SQL; the plain variant stays tested in pytest),
+    quality_scores+filter_quality_documents → quality_filter_scores
+    (one scan, scores + filter signals + verdict), lang_distribution
+    ⊂ lang_id (per-doc rows determine the roll-up)."""
     from lexor_ray.ops import (
+        decontam,
         dedup,
         multimodal,
+        pii,
         relational,
         similarity,
         sketch,
@@ -76,6 +81,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_markdown": transcripts_ops.extract_markdown,
         "extraction_log_summary": transcripts_ops.extraction_log_summary,
         "validate_extraction": transcripts_ops.validate_extraction,
+        # extract → redact chain (SQL-checked: identical regexp_replace
+        # chain over the generation-time golden text)
+        "pii_scrub": pii.pii_scrub,
         "conversation_stats_salted": transcripts_ops.conversation_stats_salted,
         "first_tool_turn_flags": _first_tool_flags,
         # transcripts relational (SQL-checked)
@@ -108,20 +116,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup.dedup_clusters,
         "shingle_overlap_pairs": dedup.shingle_overlap_pairs,
         "embedding_neardup": dedup.embedding_neardup,
+        # benchmark decontamination (broadcast small side, SQL-checked)
+        "decontaminate": decontam.decontaminate,
         # similarity search
         "brute_force_topk": similarity.brute_force_topk,
         "ann_recall": similarity.ann_recall,
         "embedding_label_centroids": similarity.embedding_label_centroids,
         # text analysis
         "token_quality_counts": textstats.token_quality_counts,
-        "quality_scores": textstats.quality_scores,
-        "filter_quality_documents": textstats.filter_quality_documents,
+        # quality_scores + filter_quality_documents recorded merged
+        # (one scan emits every score column, the integer filter
+        # signals and the passes verdict; both ops stay first-class)
+        "quality_filter_scores": textstats.quality_filter_scores,
         "bpe_token_counts": textstats.bpe_token_counts,
         "tfidf_top_terms": textstats.tfidf_top_terms,
+        # lang_id's per-doc (pred_lang, lang) rows SUBSUME the
+        # lang_distribution roll-up (a deterministic groupby of the
+        # checked column); the distribution op stays tested in pytest
         "lang_id": textstats.lang_id,
         "repetition_signals": textstats.repetition_signals,
         "doc_length_quantiles": textstats.doc_length_quantiles,
-        "lang_distribution": textstats.lang_distribution,
         # multimodal scalar roll-up (SQL-checked)
         "media_byte_totals": multimodal.media_byte_totals,
         # ---- rows-only tail (genuinely non-SQL: seeded hash
@@ -495,23 +509,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper
             FROM documents ORDER BY doc_id
         """,
-        "filter_quality_documents": r"""
+        # quality_scores + filter_quality_documents fused: the score
+        # arithmetic term-for-term (floor-truncated both sides) PLUS
+        # the integer filter signals and the passes verdict
+        "quality_filter_scores": r"""
             WITH sig AS (
-                SELECT doc_id,
-                       CAST(length(text) AS BIGINT) AS n_chars,
+                SELECT doc_id, text,
+                       regexp_extract_all(lower(text), '[a-z'']+') AS words,
+                       greatest(length(text), 1) AS n_chars,
+                       CAST(length(text) AS BIGINT) AS raw_chars,
                        CAST(CASE WHEN trim(text) = '' THEN 0
                             ELSE array_length(string_split_regex(trim(text), '\s+'))
-                       END AS BIGINT) AS n_words,
-                       CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS BIGINT) AS n_punct
+                       END AS BIGINT) AS n_words_ws
                 FROM documents
+            ), agg AS (
+                SELECT doc_id, n_chars, raw_chars, n_words_ws,
+                       greatest(len(words), 1) AS n_scorer_words,
+                       len(list_filter(words, x -> list_contains(
+                           ['the','a','an','and','or','of','to','in','is',
+                            'are','was','were','be','been','it','this','that'],
+                           x))) AS n_stop,
+                       coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+                           AS sum_wlen,
+                       length(text) - length(regexp_replace(text,
+                           '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct
+                FROM sig
+            ), r AS (
+                SELECT doc_id, raw_chars, n_words_ws, n_punct,
+                       CAST(n_stop AS DOUBLE) / n_scorer_words AS stop_ratio,
+                       CAST(sum_wlen AS DOUBLE) / n_scorer_words AS mean_word_len,
+                       CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+                       n_chars
+                FROM agg
             )
-            SELECT doc_id, n_words, n_punct FROM sig
-            WHERE n_words >= 20 AND n_punct * 100 <= n_chars * 5
-            ORDER BY doc_id
+            SELECT doc_id,
+                   floor(stop_ratio * 10000) / 10000 AS stop_ratio,
+                   floor(mean_word_len * 10000) / 10000 AS mean_word_len,
+                   floor(punct_ratio * 10000) / 10000 AS punct_ratio,
+                   floor((0.35 * least(greatest(stop_ratio, 0), 0.6) / 0.6
+                        + 0.25 * (1 - least(abs(mean_word_len - 5), 5) / 5)
+                        + 0.2 * (1 - least(punct_ratio, 0.5) / 0.5)
+                        + 0.2 * (least(n_chars, 2000) / 2000)) * 10000) / 10000
+                       AS quality_score,
+                   n_words_ws AS n_words,
+                   CAST(n_punct AS BIGINT) AS n_punct,
+                   n_words_ws >= 20 AND n_punct * 100 <= raw_chars * 5
+                       AS passes
+            FROM r ORDER BY doc_id
         """,
-        "lang_distribution": """
-            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
-            FROM documents GROUP BY lang ORDER BY lang
+        # benchmark decontamination: every doc_id % 97 == 0 document
+        # donates chars [10, 50) as its snippet; a LEFT JOIN on
+        # substring containment reproduces the broadcast check exactly
+        # (integer hit counts — no float concerns)
+        "decontaminate": """
+            WITH b AS (
+                SELECT doc_id AS bench_id, substr(text, 11, 40) AS snip
+                FROM documents
+                WHERE doc_id % 97 = 0 AND length(text) >= 50
+            )
+            SELECT d.doc_id,
+                   CAST(count(b.bench_id) AS BIGINT) AS n_bench_hits,
+                   count(b.bench_id) > 0 AS contaminated
+            FROM documents d LEFT JOIN b ON position(b.snip IN d.text) > 0
+            GROUP BY d.doc_id ORDER BY d.doc_id
         """,
         "brute_force_topk": """
             WITH q AS (
@@ -561,45 +621,30 @@ def oracle_sql() -> dict[str, str]:
                        AS n_bpeish_tokens
             FROM documents ORDER BY doc_id
         """,
-        # Mirrors QualityScorer term-for-term in the same evaluation
-        # order; floor-truncation on both sides makes the doubles
-        # bit-identical (pandas round is half-even, DuckDB half-away).
-        "quality_scores": r"""
-            WITH sig AS (
-                SELECT doc_id, text,
-                       regexp_extract_all(lower(text), '[a-z'']+') AS words,
-                       greatest(length(text), 1) AS n_chars
-                FROM documents
-            ), agg AS (
-                SELECT doc_id, n_chars,
-                       greatest(len(words), 1) AS n_words,
-                       len(list_filter(words, x -> list_contains(
-                           ['the','a','an','and','or','of','to','in','is',
-                            'are','was','were','be','been','it','this','that'],
-                           x))) AS n_stop,
-                       coalesce(list_sum(list_transform(words, x -> length(x))), 0)
-                           AS sum_wlen,
-                       length(text) - length(regexp_replace(text,
-                           '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct
-                FROM sig
-            ), r AS (
-                SELECT doc_id,
-                       CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
-                       CAST(sum_wlen AS DOUBLE) / n_words AS mean_word_len,
-                       CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
-                       n_chars
-                FROM agg
-            )
-            SELECT doc_id,
-                   floor(stop_ratio * 10000) / 10000 AS stop_ratio,
-                   floor(mean_word_len * 10000) / 10000 AS mean_word_len,
-                   floor(punct_ratio * 10000) / 10000 AS punct_ratio,
-                   floor((0.35 * least(greatest(stop_ratio, 0), 0.6) / 0.6
-                        + 0.25 * (1 - least(abs(mean_word_len - 5), 5) / 5)
-                        + 0.2 * (1 - least(punct_ratio, 0.5) / 0.5)
-                        + 0.2 * (least(n_chars, 2000) / 2000)) * 10000) / 10000
-                       AS quality_score
-            FROM r ORDER BY doc_id
+        # extract → redact chain over the golden text: the identical
+        # RE2∩re regexp_replace chain (email → ip → phone; the
+        # placeholders cannot create later matches), counts taken on
+        # the original text — parity spot-checked in tests.
+        "pii_scrub": rf"""
+            SELECT conv_id, turn_idx,
+                   regexp_replace(regexp_replace(regexp_replace(clean_text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}',
+                       '<EMAIL>', 'g'),
+                       '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b',
+                       '<IP>', 'g'),
+                       '\b\d{{3}}-\d{{3}}-\d{{4}}\b',
+                       '<PHONE>', 'g') AS scrubbed_text,
+                   CAST(len(regexp_extract_all(clean_text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))
+                       AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(clean_text,
+                       '\b\d{{3}}-\d{{3}}-\d{{4}}\b'))
+                       AS BIGINT) AS n_phones,
+                   CAST(len(regexp_extract_all(clean_text,
+                       '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b'))
+                       AS BIGINT) AS n_ips
+            FROM read_parquet('{g}')
+            ORDER BY conv_id, turn_idx
         """,
         # Full TF-IDF window SQL; idf uses ln (libm) exactly as the
         # Ray op's math.log, so scores and the per-doc top-3 ranking

@@ -116,6 +116,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("lsh_ann_topk", lambda: similarity.lsh_ann_topk(sf_dir).to_pandas())
     timed("token_counts", lambda: textstats.token_counts(sf_dir).to_pandas())
 
+    from lexor_ray.ops import decontam, pii
+
+    timed("pii_scrub", lambda: pii.pii_scrub(sf_dir).to_pandas())
+    timed("decontaminate", lambda: decontam.decontaminate(sf_dir).to_pandas())
+
     # round-comparable BIG headline: the sf0.1 input (100k turns) is
     # startup-dominated (~1.5 s wall for ~0.15 s of extraction work),
     # so round-over-round deltas on it measure Ray session warmup, not

@@ -280,6 +280,34 @@ def filter_quality_documents(sf_dir: str, min_words: int = 20, max_punct_pct: in
     return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
 
 
+def quality_filter_scores(
+    sf_dir: str, min_words: int = 20, max_punct_pct: int = 5
+):
+    """Recording fusion of :func:`quality_scores` and
+    :func:`filter_quality_documents` (both stay first-class ops — the
+    driver's 50-entry window forces merged RECORDING, not merged
+    code): one scan emitting every float score column, the integer
+    filter signals, and the ``passes`` verdict, so a single oracle row
+    set checks both operators' semantics for every document."""
+    ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    from .util import cached
+
+    def both(batch: pd.DataFrame) -> pd.DataFrame:
+        out = cached("quality-scorer", QualityScorer)(batch)
+        texts = batch["text"].fillna("")
+        n_chars = texts.str.len().astype("int64")
+        n_words = texts.str.count(r"\S+").astype("int64")
+        n_punct = texts.str.count(r"[!-/:-@\[-`{-~]").astype("int64")
+        out["n_words"] = n_words
+        out["n_punct"] = n_punct
+        out["passes"] = (n_words >= min_words) & (
+            n_punct * 100 <= n_chars * max_punct_pct
+        )
+        return out
+
+    return ds.map_batches(both, batch_format="pandas").sort("doc_id")
+
+
 class BpeishTokenizer:
     """GPT-2-style pre-tokenizer approximation (the brief's 'BPE-ish
     regex'): contractions, letter runs, digit runs, punct runs, each

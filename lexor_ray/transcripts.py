@@ -239,6 +239,35 @@ def _make_text(rng: np.random.Generator):
         # class-based dropping is an html-text hook; the markdown
         # style renders these divs as ordinary paragraphs
         mds.append(("para", boiler, True))
+    if rng.random() < 0.12:  # contact line with synthetic PII (the
+        # pii_scrub fixture: emails / NANP 555 phones / rfc5737-ish
+        # private IPs, all deterministic — never real data). Plain
+        # text inside a closed <p>, so clean/markdown composition and
+        # span counting follow the ordinary paragraph rules.
+        toks: list[str] = []
+        if rng.random() < 0.7:
+            toks.append(
+                f"user{int(rng.integers(0, 5000))}"
+                f"@example{int(rng.integers(0, 20))}.com"
+            )
+        if rng.random() < 0.5:
+            toks.append(
+                f"{int(rng.integers(200, 1000))}-555-"
+                f"{int(rng.integers(0, 10000)):04d}"
+            )
+        if rng.random() < 0.4:
+            toks.append(
+                f"10.{int(rng.integers(0, 256))}.{int(rng.integers(0, 256))}"
+                f".{int(rng.integers(1, 255))}"
+            )
+        if not toks:
+            toks.append(f"admin@example{int(rng.integers(0, 20))}.org")
+        line = "contact " + " or ".join(toks)
+        parts.append(f"<p>{line}</p>")
+        clean.append(line)
+        segs.append(1)
+        text_tail.append(False)
+        mds.append(("para", line, True))
     if rng.random() < 0.001:  # rare huge tool dump (heavy-tail skew)
         dump = " ".join([_sentence(rng, 8, 16)] * 2500)
         parts.append("<pre>" + dump + "</pre>")
@@ -262,7 +291,7 @@ def _make_text(rng: np.random.Generator):
 
 
 #: bump when generation logic changes — invalidates cached dirs
-GEN_VERSION = "v8"
+GEN_VERSION = "v9"
 
 #: turns per generation chunk: content is a pure function of
 #: (seed, chunk_index), so chunks can be generated in parallel (Ray

@@ -690,3 +690,71 @@ def test_doc_length_quantiles_monotone(ray_session):
     got = doc_length_quantiles(SF).to_pandas()
     assert list(got["q"]) == [0.25, 0.5, 0.75, 0.9, 0.99]
     assert (got["n_chars"].diff().dropna() >= 0).all()
+
+
+def test_pii_scrubber_matches_re(ray_session):
+    """Batch scrubber == plain re.sub per row, and the generated
+    corpus actually contains PII to scrub (non-trivial fixture)."""
+    import re
+
+    from lexor_ray.ops.pii import EMAIL_RE, IP_RE, PHONE_RE, PiiScrubber, pii_scrub
+
+    texts = pd.Series(
+        [
+            "contact user3@example7.com or 212-555-0199 or 10.2.33.4",
+            "no pii here",
+            "a@b.io 10.0.0.1 999-555-0000 twice a2@b2.io",
+            "",
+        ]
+    )
+    sc = PiiScrubber()
+    got = sc.scrub(texts)
+    for raw, out in zip(texts, got):
+        want = re.sub(EMAIL_RE, "<EMAIL>", raw)
+        want = re.sub(IP_RE, "<IP>", want)
+        want = re.sub(PHONE_RE, "<PHONE>", want)
+        assert out == want
+    res = df(pii_scrub(SF))
+    assert res["n_emails"].sum() > 0
+    assert res["n_phones"].sum() > 0
+    assert res["n_ips"].sum() > 0
+    assert not res["scrubbed_text"].str.contains("@").any()
+
+
+def test_decontaminate_flags_donors_and_duplicates(ray_session):
+    """Every benchmark donor is (self-)contaminated; exact duplicates
+    of a donor are contaminated without being donors."""
+    from lexor_ray.ops.decontam import BENCH_MOD, benchmark_snippets, decontaminate
+
+    snips = benchmark_snippets(SF)
+    assert len(snips) > 0 and all(len(s) == 40 for s in snips)
+    got = df(decontaminate(SF))
+    donors = got[got["doc_id"] % BENCH_MOD == 0]
+    covered = donors[donors["doc_id"].isin(
+        got.loc[got["n_bench_hits"] > 0, "doc_id"]
+    )]
+    # every donor long enough to have donated must flag itself
+    assert (donors["contaminated"] | ~donors["doc_id"].isin(
+        covered["doc_id"]
+    )).all()
+    # the corpus's exact duplicates give at least one non-donor hit
+    assert (got["contaminated"] & (got["doc_id"] % BENCH_MOD != 0)).any()
+
+
+def test_quality_filter_scores_merges_components(ray_session):
+    """The fused recording op == quality_scores columns + the
+    filter_quality_documents verdict, row for row."""
+    from lexor_ray.ops.textstats import (
+        filter_quality_documents,
+        quality_filter_scores,
+        quality_scores,
+    )
+
+    fused = df(quality_filter_scores(SF)).set_index("doc_id")
+    scores = df(quality_scores(SF)).set_index("doc_id")
+    pd.testing.assert_frame_equal(
+        fused[["stop_ratio", "mean_word_len", "punct_ratio", "quality_score"]],
+        scores[["stop_ratio", "mean_word_len", "punct_ratio", "quality_score"]],
+    )
+    kept = df(filter_quality_documents(SF))
+    assert set(kept["doc_id"]) == set(fused.index[fused["passes"]])
