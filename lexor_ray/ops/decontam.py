@@ -4,9 +4,9 @@ GPT-3-style 40-char-substring contamination check).
 
 Shape at 100 TB: the benchmark side is SMALL by construction (a fixed
 eval suite — thousands of snippets, not a data-scale table), so it is
-collected once, shipped once per worker (``cached`` keyed on the
-object ref), and the check is a broadcast map over the corpus — no
-shuffle, fully streaming. Each snippet test is one vectorized
+collected once, shipped once per worker (a single replace-on-new-ref
+worker-cache slot), and the check is a broadcast map over the corpus —
+no shuffle, fully streaming. Each snippet test is one vectorized
 ``str.contains(..., regex=False)`` pass (C-level substring search);
 with a much larger snippet set the same stage would swap in one
 compiled alternation / Aho-Corasick automaton per worker without
@@ -24,7 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .util import cached, tbl
+from .util import tbl
 
 BENCH_MOD = 97  #: doc_id % BENCH_MOD == 0 → benchmark member
 SNIP_START = 10  #: 0-based char offset of the snippet
@@ -97,6 +97,7 @@ class ContaminationChecker:
     def __init__(self, snips_ref) -> None:
         import ray
 
+        self.ref = snips_ref
         self.snips = ray.get(snips_ref)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -126,7 +127,18 @@ def decontaminate(sf_dir: str):
 
     snips_ref = ray.put(benchmark_snippets(sf_dir))
     ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(
-        lambda b: cached(("contam", snips_ref.hex()), lambda: ContaminationChecker(snips_ref))(b),
-        batch_format="pandas",
-    ).sort("doc_id")
+
+    def check(batch: pd.DataFrame) -> pd.DataFrame:
+        # ONE worker-cache slot, replaced when the benchmark ref
+        # changes — keying by ref would grow the cache per call
+        # (the r2 LSH cache-leak lesson)
+        from .util import _WORKER_CACHE
+
+        inst = _WORKER_CACHE.get("contam-checker")
+        if inst is None or inst.ref != snips_ref:
+            inst = _WORKER_CACHE["contam-checker"] = ContaminationChecker(
+                snips_ref
+            )
+        return inst(batch)
+
+    return ds.map_batches(check, batch_format="pandas").sort("doc_id")
