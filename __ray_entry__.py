@@ -46,20 +46,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     item 1). Oracle-checked entries come FIRST; the handful of
     genuinely non-SQL rows-only entries close the dict. Operators that
     lost their own entry to the window are RECORDED MERGED, not
-    removed: token_counts+quality_counts → token_quality_counts,
+    removed: token_counts+quality_counts+quality_scores+
+    filter_quality_documents → text_quality_stats (one scan: every
+    integer signal, every float score, the filter verdict),
     lsh/ivf_ann_topk → ann_recall (now oracle-gated),
     media_features/frame_sample/resize_media → media_pipeline,
     turns_per_conversation → conversation_stats_salted (identical
     output + SQL; the plain variant stays tested in pytest),
-    quality_scores+filter_quality_documents → quality_filter_scores
-    (one scan, scores + filter signals + verdict), lang_distribution
-    ⊂ lang_id (per-doc rows determine the roll-up)."""
+    lang_distribution ⊂ lang_id (per-doc rows determine the roll-up),
+    ngram_jaccard_pairs+simhash_candidates → neardup_candidates
+    (tagged union of both candidate/score sets)."""
     from lexor_ray.ops import (
         decontam,
         dedup,
         multimodal,
         pii,
         relational,
+        sampling,
         similarity,
         sketch,
         textstats,
@@ -122,12 +125,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brute_force_topk": similarity.brute_force_topk,
         "ann_recall": similarity.ann_recall,
         "embedding_label_centroids": similarity.embedding_label_centroids,
-        # text analysis
-        "token_quality_counts": textstats.token_quality_counts,
-        # quality_scores + filter_quality_documents recorded merged
-        # (one scan emits every score column, the integer filter
-        # signals and the passes verdict; both ops stay first-class)
-        "quality_filter_scores": textstats.quality_filter_scores,
+        # distributed Lloyd's, recorded at an iteration budget of 1 so
+        # the full float pipeline (normalize → assign → recompute →
+        # reassign) is SQL-expressible; the iterative loop is the SAME
+        # code path and stays convergence/sanity-tested in pytest
+        "kmeans_embeddings": lambda sf_dir: similarity.kmeans_embeddings(
+            sf_dir, max_iters=1
+        ),
+        # deterministic corpus curation: hash split + stratified
+        # sampling + per-source caps + global shuffle rank (SQL-checked
+        # via the identical splitmix64 arithmetic in DuckDB)
+        "corpus_sampling": sampling.corpus_sampling,
+        # text analysis (token/quality/score/filter ops recorded fused)
+        "text_quality_stats": textstats.text_quality_stats,
+        "gopher_ngram_stats": textstats.gopher_ngram_stats,
+        # winnowing fingerprints (Schleimer et al.): the polynomial
+        # byte hash + window-min + xor-fold is replayed exactly in SQL
+        "fingerprints": textstats.fingerprints,
         "bpe_token_counts": textstats.bpe_token_counts,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         # lang_id's per-doc (pred_lang, lang) rows SUBSUME the
@@ -139,12 +153,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal scalar roll-up (SQL-checked)
         "media_byte_totals": multimodal.media_byte_totals,
         # ---- rows-only tail (genuinely non-SQL: seeded hash
-        # families, iterative float clustering, winnowing,
-        # payload-byte features) ----
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "simhash_candidates": dedup.simhash_candidates,
-        "kmeans_embeddings": similarity.kmeans_embeddings,
-        "fingerprints": textstats.fingerprints,
+        # families, payload-byte features) ----
+        "neardup_candidates": dedup.neardup_candidates,
         "media_pipeline": multimodal.media_pipeline,
     }
 
@@ -498,32 +508,26 @@ def oracle_sql() -> dict[str, str]:
             FROM algos a CROSS JOIN q
             ORDER BY a.algo, q.query_id
         """,
-        "token_quality_counts": r"""
-            SELECT doc_id,
-                   CAST(length(text) AS BIGINT) AS n_chars,
-                   CAST(CASE WHEN trim(text) = '' THEN 0
-                        ELSE array_length(string_split_regex(trim(text), '\s+'))
-                   END AS BIGINT) AS n_tokens,
-                   CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS BIGINT) AS n_punct,
-                   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
-                   CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper
-            FROM documents ORDER BY doc_id
-        """,
-        # quality_scores + filter_quality_documents fused: the score
-        # arithmetic term-for-term (floor-truncated both sides) PLUS
-        # the integer filter signals and the passes verdict
-        "quality_filter_scores": r"""
+        # token_counts + quality_counts + quality_scores +
+        # filter_quality_documents fused: the integer token/char
+        # signals, the score arithmetic term-for-term (floor-truncated
+        # both sides), the filter signals and the passes verdict
+        "text_quality_stats": r"""
             WITH sig AS (
                 SELECT doc_id, text,
                        regexp_extract_all(lower(text), '[a-z'']+') AS words,
                        greatest(length(text), 1) AS n_chars,
                        CAST(length(text) AS BIGINT) AS raw_chars,
+                       CAST(length(text) - length(regexp_replace(text,
+                           '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+                       CAST(length(text) - length(regexp_replace(text,
+                           '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
                        CAST(CASE WHEN trim(text) = '' THEN 0
                             ELSE array_length(string_split_regex(trim(text), '\s+'))
                        END AS BIGINT) AS n_words_ws
                 FROM documents
             ), agg AS (
-                SELECT doc_id, n_chars, raw_chars, n_words_ws,
+                SELECT doc_id, n_chars, raw_chars, n_digits, n_upper, n_words_ws,
                        greatest(len(words), 1) AS n_scorer_words,
                        len(list_filter(words, x -> list_contains(
                            ['the','a','an','and','or','of','to','in','is',
@@ -535,7 +539,7 @@ def oracle_sql() -> dict[str, str]:
                            '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct
                 FROM sig
             ), r AS (
-                SELECT doc_id, raw_chars, n_words_ws, n_punct,
+                SELECT doc_id, raw_chars, n_digits, n_upper, n_words_ws, n_punct,
                        CAST(n_stop AS DOUBLE) / n_scorer_words AS stop_ratio,
                        CAST(sum_wlen AS DOUBLE) / n_scorer_words AS mean_word_len,
                        CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
@@ -551,6 +555,9 @@ def oracle_sql() -> dict[str, str]:
                         + 0.2 * (1 - least(punct_ratio, 0.5) / 0.5)
                         + 0.2 * (least(n_chars, 2000) / 2000)) * 10000) / 10000
                        AS quality_score,
+                   raw_chars AS n_chars,
+                   n_words_ws AS n_tokens,
+                   n_digits, n_upper,
                    n_words_ws AS n_words,
                    CAST(n_punct AS BIGINT) AS n_punct,
                    n_words_ws >= 20 AND n_punct * 100 <= raw_chars * 5
@@ -785,5 +792,208 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON b.vec_id > a.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
             ORDER BY a, b
+        """,
+        # Deterministic corpus curation: the IDENTICAL splitmix64
+        # arithmetic (bijective uint64 finalizer — no hash ties
+        # possible) replayed in UHUGEINT mod-2^64; split / stratified
+        # sample / per-source cap / global shuffle rank all follow as
+        # pure window/CASE expressions over the two hashes.
+        "corpus_sampling": """
+            WITH s0 AS (
+                SELECT doc_id, lang, source,
+                       CAST((CAST(doc_id AS UHUGEINT)
+                             + 11400714819323198485::UHUGEINT)
+                            % 18446744073709551616::UHUGEINT AS UBIGINT) AS za,
+                       CAST((CAST(xor(doc_id, 25214903917) AS UHUGEINT)
+                             + 11400714819323198485::UHUGEINT)
+                            % 18446744073709551616::UHUGEINT AS UBIGINT) AS zb
+                FROM documents
+            ), s1 AS (
+                SELECT doc_id, lang, source,
+                       CAST((CAST(xor(za, za >> 30) AS UHUGEINT)
+                             * 13787848793156543929::UHUGEINT)
+                            % 18446744073709551616::UHUGEINT AS UBIGINT) AS za,
+                       CAST((CAST(xor(zb, zb >> 30) AS UHUGEINT)
+                             * 13787848793156543929::UHUGEINT)
+                            % 18446744073709551616::UHUGEINT AS UBIGINT) AS zb
+                FROM s0
+            ), s2 AS (
+                SELECT doc_id, lang, source,
+                       CAST((CAST(xor(za, za >> 27) AS UHUGEINT)
+                             * 10723151780598845931::UHUGEINT)
+                            % 18446744073709551616::UHUGEINT AS UBIGINT) AS za,
+                       CAST((CAST(xor(zb, zb >> 27) AS UHUGEINT)
+                             * 10723151780598845931::UHUGEINT)
+                            % 18446744073709551616::UHUGEINT AS UBIGINT) AS zb
+                FROM s1
+            ), hh AS (
+                SELECT doc_id, lang, source,
+                       xor(za, za >> 31) AS h, xor(zb, zb >> 31) AS hs
+                FROM s2
+            )
+            SELECT doc_id,
+                   CASE WHEN h % 1000 < 900 THEN 'train'
+                        WHEN h % 1000 < 950 THEN 'valid'
+                        ELSE 'test' END AS split,
+                   (hs % 10000) < CASE lang WHEN 'en' THEN 5000
+                                            WHEN 'de' THEN 7500
+                                            WHEN 'fr' THEN 7500
+                                            WHEN 'es' THEN 7500
+                                            ELSE 10000 END AS sampled,
+                   row_number() OVER (PARTITION BY source ORDER BY h) <= 15
+                       AS kept_by_cap,
+                   CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT)
+                       AS shuffle_rank
+            FROM hh ORDER BY doc_id
+        """,
+        # Gopher repetition metrics: word n-grams via list_transform,
+        # arg-min tie-break (count desc, gram asc) via ordered first();
+        # floats computed as floor(chars * 1e4 / L) / 1e4 in the same
+        # operation order as the Ray op — bit-identical.
+        "gopher_ngram_stats": r"""
+            WITH ws AS (
+                SELECT doc_id, greatest(length(text), 1) AS L,
+                       CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE string_split_regex(
+                                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+                       END AS w
+                FROM documents
+            ), g2 AS (
+                SELECT doc_id, L, unnest(CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END) AS g
+                FROM ws
+            ), g3 AS (
+                SELECT doc_id, L, unnest(CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS g
+                FROM ws
+            ), g5 AS (
+                SELECT doc_id, L, unnest(CASE WHEN len(w) < 5 THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(range(1, len(w) - 3),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) END) AS g
+                FROM ws
+            ), g6 AS (
+                SELECT doc_id, L, unnest(CASE WHEN len(w) < 6 THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(range(1, len(w) - 4),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5]) END) AS g
+                FROM ws
+            ), c2 AS (SELECT doc_id, any_value(L) AS L, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+            c3 AS (SELECT doc_id, any_value(L) AS L, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+            c5 AS (SELECT doc_id, any_value(L) AS L, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+            c6 AS (SELECT doc_id, any_value(L) AS L, g, count(*) AS c FROM g6 GROUP BY doc_id, g),
+            t2 AS (
+                SELECT doc_id, floor(CASE WHEN max_c >= 2
+                           THEN max_c * length(top_g) ELSE 0 END * 10000.0 / L) / 10000 AS v
+                FROM (SELECT doc_id, any_value(L) AS L, max(c) AS max_c,
+                             first(g ORDER BY c DESC, g ASC) AS top_g
+                      FROM c2 GROUP BY doc_id)
+            ), t3 AS (
+                SELECT doc_id, floor(CASE WHEN max_c >= 2
+                           THEN max_c * length(top_g) ELSE 0 END * 10000.0 / L) / 10000 AS v
+                FROM (SELECT doc_id, any_value(L) AS L, max(c) AS max_c,
+                             first(g ORDER BY c DESC, g ASC) AS top_g
+                      FROM c3 GROUP BY doc_id)
+            ), d5 AS (
+                SELECT doc_id, floor(coalesce(sum(CASE WHEN c >= 2 THEN c * length(g) END), 0)
+                           * 10000.0 / any_value(L)) / 10000 AS v
+                FROM c5 GROUP BY doc_id
+            ), d6 AS (
+                SELECT doc_id, floor(coalesce(sum(CASE WHEN c >= 2 THEN c * length(g) END), 0)
+                           * 10000.0 / any_value(L)) / 10000 AS v
+                FROM c6 GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(t2.v, 0) AS top2_frac, coalesce(t3.v, 0) AS top3_frac,
+                   coalesce(d5.v, 0) AS dup5_frac, coalesce(d6.v, 0) AS dup6_frac
+            FROM documents d
+            LEFT JOIN t2 ON d.doc_id = t2.doc_id
+            LEFT JOIN t3 ON d.doc_id = t3.doc_id
+            LEFT JOIN d5 ON d.doc_id = d5.doc_id
+            LEFT JOIN d6 ON d.doc_id = d6.doc_id
+            ORDER BY d.doc_id
+        """,
+        # ONE Lloyd iteration from the deterministic init (first k
+        # vectors by vec_id, normalized): normalize → cosine argmax
+        # (ties → lowest cluster, matching np.argmax) → centroid
+        # mean-of-normalized + renormalize (empty/zero clusters keep
+        # init) → final assignment; cosine floor-truncated both sides.
+        "kmeans_embeddings": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ), en AS (
+                SELECT vec_id,
+                       CASE WHEN sqrt(list_sum(list_transform(v, x -> x*x))) = 0 THEN v
+                            ELSE list_transform(v,
+                                x -> x / sqrt(list_sum(list_transform(v, y -> y*y))))
+                       END AS v
+                FROM e
+            ), init AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
+                FROM en ORDER BY vec_id LIMIT 8
+            ), a1 AS (
+                SELECT en.vec_id, en.v,
+                       (SELECT i.cluster FROM init i
+                        ORDER BY list_dot_product(en.v, i.v) DESC, i.cluster
+                        LIMIT 1) AS c
+                FROM en
+            ), sums AS (
+                SELECT c AS cluster, i AS dim, sum(v[i]) / count(*) AS mv
+                FROM a1, range(1, 65) t(i)
+                GROUP BY c, i
+            ), newc_raw AS (
+                SELECT cluster, list(mv ORDER BY dim) AS v FROM sums GROUP BY cluster
+            ), newc AS (
+                SELECT i.cluster,
+                       CASE WHEN nr.v IS NULL
+                                 OR sqrt(list_sum(list_transform(nr.v, x -> x*x))) = 0
+                            THEN i.v
+                            ELSE list_transform(nr.v,
+                                x -> x / sqrt(list_sum(list_transform(nr.v, y -> y*y))))
+                       END AS v
+                FROM init i LEFT JOIN newc_raw nr USING (cluster)
+            )
+            SELECT en.vec_id,
+                   CAST((SELECT c.cluster FROM newc c
+                         ORDER BY list_dot_product(en.v, c.v) DESC, c.cluster
+                         LIMIT 1) AS INT) AS cluster,
+                   (SELECT floor(list_dot_product(en.v, c.v) * 10000) / 10000
+                    FROM newc c
+                    ORDER BY list_dot_product(en.v, c.v) DESC, c.cluster
+                    LIMIT 1) AS cosine_to_centroid
+            FROM en ORDER BY en.vec_id
+        """,
+        # Winnowing (Schleimer et al., SIGMOD'03) replayed exactly:
+        # polynomial rolling hash base 257 mod 2^64 over the document
+        # bytes (ASCII corpus: unicode(char) == byte), sliding window-16
+        # min, xor-fold of the distinct window minima. Precondition
+        # len(text) >= 8 holds for every testdata document (min 44).
+        "fingerprints": """
+            WITH h AS (
+                SELECT doc_id,
+                       list_transform(range(1, len(t) - 8 + 2),
+                           i -> CAST((
+                                  CAST(unicode(t[i+0]) AS UHUGEINT) * 74051159531521793::UHUGEINT
+                                + CAST(unicode(t[i+1]) AS UHUGEINT) * 288136807515649::UHUGEINT
+                                + CAST(unicode(t[i+2]) AS UHUGEINT) * 1121154893057::UHUGEINT
+                                + CAST(unicode(t[i+3]) AS UHUGEINT) * 4362470401::UHUGEINT
+                                + CAST(unicode(t[i+4]) AS UHUGEINT) * 16974593::UHUGEINT
+                                + CAST(unicode(t[i+5]) AS UHUGEINT) * 66049::UHUGEINT
+                                + CAST(unicode(t[i+6]) AS UHUGEINT) * 257::UHUGEINT
+                                + CAST(unicode(t[i+7]) AS UHUGEINT)
+                               ) % 18446744073709551616::UHUGEINT AS UBIGINT)) AS hs
+                FROM (SELECT doc_id, text AS t FROM documents)
+            ), m AS (
+                SELECT doc_id,
+                       CASE WHEN len(hs) <= 16 THEN [list_min(hs)]
+                            ELSE list_distinct(list_transform(range(1, len(hs) - 16 + 2),
+                                   i -> list_min(hs[i:i+15])))
+                       END AS mins
+                FROM h
+            )
+            SELECT doc_id, list_reduce(mins, (a, b) -> xor(a, b)) AS fingerprint
+            FROM m ORDER BY doc_id
         """,
     }

@@ -1438,3 +1438,52 @@ def embedding_neardup(
             }
         )
     return out
+
+
+def neardup_candidates(sf_dir: str):
+    """Rows-only recording fusion of :func:`ngram_jaccard_pairs` and
+    :func:`simhash_candidates` (both stay first-class ops with their
+    own tests; the driver's 50-entry window forces merged RECORDING):
+    one tagged union ``(algo, a, b, score)`` where score is the pair's
+    exact n-gram Jaccard or its SimHash Hamming distance. Genuinely
+    non-SQL (seeded hash families drive both candidate sets); the
+    exact-set verify arithmetic is separately SQL-gated via
+    ``shingle_overlap_pairs`` and the tiers are asserted row-identical
+    in tests."""
+    import ray.data
+
+    nj = ngram_jaccard_pairs(sf_dir)
+    if isinstance(nj, pa.Table):  # measured-small broadcast tier
+        nj = ray.data.from_arrow(nj)
+    sh = simhash_candidates(sf_dir)
+    if isinstance(sh, pa.Table):
+        sh = ray.data.from_arrow(sh)
+
+    def tag_jaccard(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "algo": pa.array(["jaccard"] * batch.num_rows, type=pa.string()),
+                "a": batch.column("a").cast(pa.int64()),
+                "b": batch.column("b").cast(pa.int64()),
+                "score": batch.column("jaccard").cast(pa.float64()),
+            }
+        )
+
+    def tag_simhash(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "algo": pa.array(["simhash"] * batch.num_rows, type=pa.string()),
+                "a": batch.column("a").cast(pa.int64()),
+                "b": batch.column("b").cast(pa.int64()),
+                "score": batch.column("hamming").cast(pa.float64()),
+            }
+        )
+
+    # the identity-format maps also normalize block formats so the
+    # post-union sort sampler sees homogeneous arrow blocks
+    # (CLAUDE.md union gotcha)
+    return (
+        nj.map_batches(tag_jaccard, batch_format="pyarrow")
+        .union(sh.map_batches(tag_simhash, batch_format="pyarrow"))
+        .sort(["algo", "a", "b"])
+    )

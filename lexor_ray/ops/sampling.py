@@ -1,0 +1,201 @@
+"""Deterministic corpus sampling / splitting / capping operators.
+
+The standard pre-training curation steps that sit between cleaning and
+training (public recipes: GPT-3 §2.2, The Pile, RefinedWeb, Dolma):
+
+- **train/valid/test hash split** — membership decided by a
+  deterministic integer hash of the stable ``doc_id``, never by
+  position or randomness, so the split is reproducible on any cluster
+  layout and any ordering of the input blocks;
+- **stratified sampling** — per-language keep-rates applied via a
+  second (salted) hash, so dominant languages can be downsampled
+  without a shuffle or a global count;
+- **per-source frequency caps** — at most ``cap`` documents per
+  source, selected by hash order (deterministic, unbiased), computed
+  as a distributed partial top-``cap`` + tiny threshold broadcast;
+- **deterministic global shuffle rank** — every document's position
+  under ``ORDER BY splitmix64(doc_id)``, computed with the
+  two-pass histogram + within-bucket rank pattern (a distributed
+  zip-with-index; no global sort materialization on the driver).
+
+Everything is keyed off :func:`splitmix64` (public domain finalizer,
+Steele et al., "Fast splittable pseudorandom number generators",
+OOPSLA'14) — a *bijection* on uint64, so distinct doc_ids can never
+collide and every tie-break below is exact. The identical arithmetic
+is reproducible in DuckDB (UHUGEINT mod-2^64), which is what makes the
+whole operator SQL-oracle-checkable.
+
+Scale shape (100 TB): two tiny metadata passes (per-source top-``cap``
+partials → ≤ ``cap × n_sources`` rows; 4096-bucket histogram → ≤ 4096
+rows) feed broadcast lookups; the main pass is one vectorized
+``map_batches`` plus ONE coarse keyed shuffle (for within-bucket rank
+assignment). No driver-side iteration over data rows anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .util import coarse_apply, tbl
+
+#: salt for the second (sampling) hash — xor-ed into doc_id before
+#: splitmix64 so the sampling decision is independent of the split
+#: decision. Small constant (< 2^63) so int64 xor is sign-safe in
+#: both numpy and DuckDB.
+SAMPLE_SALT = np.uint64(0x5DEECE66D)
+
+#: stratified keep-rates in basis points (of 10_000) per language:
+#: downsample the dominant language, keep the tail whole — the classic
+#: rebalancing move of multilingual curation.
+DEFAULT_LANG_RATES_BP = {
+    "en": 5000,
+    "de": 7500,
+    "fr": 7500,
+    "es": 7500,
+    "zh": 10000,
+}
+
+#: h % 1000 thresholds: [0, 900) train, [900, 950) valid, rest test.
+TRAIN_BP, VALID_BP = 900, 950
+
+#: top bits of h used for the rank histogram (4096 buckets — the
+#: driver-side offset table stays tiny at any corpus size).
+_RANK_BUCKET_BITS = 12
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (bijective on uint64)."""
+    x = np.asarray(x, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _doc_hashes(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(h, h_sample) for a batch — h drives split/cap/rank, h_sample
+    (salted) drives stratified sampling."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+    return splitmix64(ids), splitmix64(ids ^ SAMPLE_SALT)
+
+
+def _cap_thresholds(ds, cap: int) -> dict[str, int]:
+    """Per-source keep threshold: the ``cap``-th smallest h (inclusive),
+    or 2^64-1 when the source has ≤ cap documents. Distributed partial
+    top-``cap`` per batch, merged per source; the driver only ever sees
+    ≤ ``cap`` rows per source."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h, _ = _doc_hashes(batch)
+        df = pd.DataFrame(
+            {"source": batch.column("source").to_pandas(), "h": h}
+        )
+        kept = (
+            df.sort_values("h", kind="mergesort")
+            .groupby("source", sort=False)
+            .head(cap)
+        )
+        return pa.Table.from_pandas(kept, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        hs = np.sort(g["h"].to_numpy().astype(np.uint64))
+        thr = hs[cap - 1] if len(hs) >= cap else np.uint64(0xFFFFFFFFFFFFFFFF)
+        return pd.DataFrame({"source": [g["source"].iloc[0]], "thr": [thr]})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return {
+        s: int(t) for s, t in zip(merged["source"], merged["thr"].astype(np.uint64))
+    }
+
+
+def _rank_offsets(ds) -> np.ndarray:
+    """Exclusive prefix sums of the h-bucket histogram (h >> 52, 4096
+    buckets): ``offsets[b]`` = number of documents whose hash falls in
+    an earlier bucket. Per-batch partial counts → one small groupby →
+    ≤ 4096 rows to the driver."""
+    shift = np.uint64(64 - _RANK_BUCKET_BITS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h, _ = _doc_hashes(batch)
+        b, c = np.unique((h >> shift).astype(np.int64), return_counts=True)
+        return pa.table({"bucket": pa.array(b), "n": pa.array(c)})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .sum("n")
+        .to_pandas()
+    )
+    hist = np.zeros(1 << _RANK_BUCKET_BITS, dtype=np.int64)
+    hist[counts["bucket"].to_numpy()] = counts["sum(n)"].to_numpy()
+    offsets = np.zeros_like(hist)
+    np.cumsum(hist[:-1], out=offsets[1:])
+    return offsets
+
+
+def corpus_sampling(
+    sf_dir: str,
+    cap: int = 15,
+    lang_rates_bp: dict[str, int] | None = None,
+):
+    """One scan emitting every curation decision per document:
+
+    ``(doc_id, split, sampled, kept_by_cap, shuffle_rank)`` —
+    hash split (train/valid/test), stratified per-lang sampling flag,
+    per-source cap flag, and the deterministic global shuffle position.
+    All decisions are pure functions of ``splitmix64(doc_id)`` plus
+    two broadcast lookup tables, so the operator is embarrassingly
+    parallel except for ONE coarse shuffle that colocates rank
+    buckets."""
+    import ray
+
+    rates = lang_rates_bp or DEFAULT_LANG_RATES_BP
+    ds = tbl(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    thr_ref = ray.put(_cap_thresholds(ds, cap))
+    off_ref = ray.put(_rank_offsets(ds))
+    shift = np.uint64(64 - _RANK_BUCKET_BITS)
+
+    def decide(batch: pa.Table) -> pa.Table:
+        thr = ray.get(thr_ref)
+        h, hs = _doc_hashes(batch)
+        langs = batch.column("lang").to_pandas()
+        sources = batch.column("source").to_pandas()
+        mod = (h % np.uint64(1000)).astype(np.int64)
+        split = np.where(
+            mod < TRAIN_BP, "train", np.where(mod < VALID_BP, "valid", "test")
+        )
+        rate = langs.map(lambda l: rates.get(l, 10000)).to_numpy(dtype=np.int64)
+        sampled = (hs % np.uint64(10000)).astype(np.int64) < rate
+        thr_arr = sources.map(thr).to_numpy(dtype=np.uint64)
+        kept = h <= thr_arr
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "split": pa.array(split.astype(object), type=pa.string()),
+                "sampled": pa.array(sampled),
+                "kept_by_cap": pa.array(kept),
+                "h": pa.array(h, type=pa.uint64()),
+                "rank_bucket": pa.array((h >> shift).astype(np.int64)),
+            }
+        )
+
+    decided = ds.map_batches(decide, batch_format="pyarrow")
+
+    def assign_rank(g: pd.DataFrame) -> pd.DataFrame:
+        offsets = ray.get(off_ref)
+        g = g.sort_values(["rank_bucket", "h"], kind="mergesort")
+        within = g.groupby("rank_bucket", sort=False).cumcount().to_numpy()
+        base = offsets[g["rank_bucket"].to_numpy()]
+        out = g[["doc_id", "split", "sampled", "kept_by_cap"]].copy()
+        out["shuffle_rank"] = (base + within).astype(np.int64)
+        return out
+
+    return coarse_apply(decided, ["rank_bucket"], assign_rank).sort("doc_id")

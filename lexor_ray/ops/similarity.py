@@ -309,8 +309,10 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, max_iters: int = 10):
             {
                 "vec_id": batch["vec_id"],
                 "cluster": pa.array(assign.astype(np.int32)),
+                # floor-truncation, not round: bit-identical to the
+                # single-step oracle's floor(x*1e4)/1e4 (CLAUDE.md rule)
                 "cosine_to_centroid": pa.array(
-                    np.round(sims[np.arange(len(assign)), assign], 4)
+                    np.floor(sims[np.arange(len(assign)), assign] * 10000) / 10000
                 ),
             }
         )

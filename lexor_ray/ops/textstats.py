@@ -708,3 +708,127 @@ def lang_distribution(sf_dir: str):
         .aggregate(Sum("lang_count", alias_name="n_docs"))
         .sort("lang")
     )
+
+
+def text_quality_stats(sf_dir: str, min_words: int = 20, max_punct_pct: int = 5):
+    """Recording fusion of :func:`token_quality_counts` and
+    :func:`quality_filter_scores` (every constituent op —
+    token_counts, quality_counts, quality_scores,
+    filter_quality_documents — stays first-class; the driver's
+    50-entry window forces merged RECORDING, not merged code): ONE
+    scan emits the integer token/char signals, every float score
+    column, the filter signals and the ``passes`` verdict, so a single
+    oracle row set checks all four operators' semantics per document."""
+    ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    from .util import cached
+
+    def fused(batch: pd.DataFrame) -> pd.DataFrame:
+        out = cached("quality-scorer", QualityScorer)(batch)
+        texts = batch["text"].fillna("")
+        n_chars = texts.str.len().astype("int64")
+        n_words = texts.str.count(r"\S+").astype("int64")
+        n_punct = texts.str.count(r"[!-/:-@\[-`{-~]").astype("int64")
+        out["n_chars"] = n_chars
+        out["n_tokens"] = n_words
+        out["n_digits"] = texts.str.count(r"[0-9]").astype("int64")
+        out["n_upper"] = texts.str.count(r"[A-Z]").astype("int64")
+        out["n_words"] = n_words
+        out["n_punct"] = n_punct
+        out["passes"] = (n_words >= min_words) & (
+            n_punct * 100 <= n_chars * max_punct_pct
+        )
+        return out
+
+    return ds.map_batches(fused, batch_format="pandas").sort("doc_id")
+
+
+class GopherNgrams:
+    """Gopher-style repetition quality metrics (public rules: Rae et
+    al. 2021 §A1.1, carried into Dolma/RefinedWeb): the fraction of
+    characters covered by the most frequent word n-gram (n = 2, 3;
+    zero unless it repeats) and by ALL duplicated word n-grams
+    (n = 5, 6). Character cost of a gram is the length of its
+    space-joined string; the denominator is the document's character
+    length. One vectorized pass per batch: shifted-array concat builds
+    every gram column-wise, C-level pandas groupby counts them — no
+    per-document Python loop.
+
+    Floats are computed as ``floor(chars * 10⁴ / L) / 10⁴`` in exactly
+    that operation order so the DuckDB oracle (same expression) is
+    bit-identical."""
+
+    #: (n, kind, output column)
+    SPECS = (
+        (2, "top", "top2_frac"),
+        (3, "top", "top3_frac"),
+        (5, "dup", "dup5_frac"),
+        (6, "dup", "dup6_frac"),
+    )
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        L = np.maximum(texts.str.len().to_numpy(np.int64), 1)
+        words = texts.str.split()
+        nw = words.map(len).to_numpy(np.int64)
+        flat = (
+            np.concatenate([np.asarray(w, dtype=object) for w in words])
+            if len(words)
+            else np.empty(0, dtype=object)
+        )
+        row_of = np.repeat(np.arange(len(texts)), nw)
+        W = len(flat)
+        out = {"doc_id": batch["doc_id"].to_numpy()}
+        for n, kind, col in self.SPECS:
+            vals = np.zeros(len(texts), dtype=np.float64)
+            if W >= n:
+                valid = row_of[: W - n + 1] == row_of[n - 1 :]
+                if valid.any():
+                    g = flat[: W - n + 1][valid]
+                    for j in range(1, n):
+                        g = g + " " + flat[j : W - n + 1 + j][valid]
+                    r = row_of[: W - n + 1][valid]
+                    cnt = (
+                        pd.DataFrame({"r": r, "g": g})
+                        .groupby(["r", "g"], sort=False)
+                        .size()
+                        .reset_index(name="c")
+                    )
+                    glen = cnt["g"].str.len().to_numpy(np.int64)
+                    if kind == "top":
+                        cnt["glen"] = glen
+                        best = cnt.sort_values(
+                            ["r", "c", "g"],
+                            ascending=[True, False, True],
+                            kind="mergesort",
+                        ).drop_duplicates("r")
+                        c_arr = best["c"].to_numpy(np.int64)
+                        chars = np.where(
+                            c_arr >= 2, c_arr * best["glen"].to_numpy(np.int64), 0
+                        )
+                        ri = best["r"].to_numpy(np.int64)
+                        vals[ri] = chars * 10000.0 / L[ri]
+                    else:
+                        dup = cnt[cnt["c"] >= 2]
+                        if len(dup):
+                            s = (
+                                (dup["c"].to_numpy(np.int64) * glen[cnt["c"] >= 2])
+                                * 1.0
+                            )
+                            agg = pd.Series(s).groupby(
+                                dup["r"].to_numpy(np.int64)
+                            ).sum()
+                            ri = agg.index.to_numpy(np.int64)
+                            vals[ri] = agg.to_numpy() * 10000.0 / L[ri]
+            out[col] = np.floor(vals) / 10000
+        return pd.DataFrame(out)
+
+
+def gopher_ngram_stats(sf_dir: str):
+    """Per-document Gopher repetition metrics (:class:`GopherNgrams`):
+    embarrassingly parallel map_batches, no shuffle, SQL-checkable."""
+    ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    from .util import cached
+
+    return ds.map_batches(
+        lambda b: cached("gopher-ngrams", GopherNgrams)(b), batch_format="pandas"
+    ).sort("doc_id")
