@@ -125,26 +125,27 @@ def q3_top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
         ),
         batch_format="pyarrow",
     )
-    joined = rev.join(
+    # task-based semi join on the shared shuffle path (ops/util
+    # bucketed_join): Dataset.join's aggregator ACTOR pool reserves a
+    # CPU per partition and starves the streaming executor on small
+    # CPU budgets — measured 59 s vs ~2 s for this query at sf0.01 on
+    # 8 cpus (CLAUDE.md actor-pool rule; the chained-join deadlock is
+    # the extreme case of the same reservation behavior)
+    from .util import bucketed_join
+
+    joined = bucketed_join(
+        rev,
         orders,
-        join_type="inner",
-        num_partitions=16,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
+        key_col="l_orderkey",
+        right_key="o_orderkey",
+        value_col="o_orderkey",
+        out_col="__match",
+        carry={"l_orderkey": pa.int64(), "revenue": pa.float64()},
+        value_type=pa.int64(),
     )
-
-    def project(batch: pa.Table) -> pa.Table:
-        # empty hash-join partitions emit schemaless blocks — normalize
-        if "l_orderkey" not in batch.schema.names:
-            return pa.table(
-                {
-                    "l_orderkey": pa.array([], type=pa.int64()),
-                    "revenue": pa.array([], type=pa.float64()),
-                }
-            )
-        return batch.select(["l_orderkey", "revenue"])
-
-    joined = joined.map_batches(project, batch_format="pyarrow")
+    joined = joined.map_batches(
+        lambda b: b.select(["l_orderkey", "revenue"]), batch_format="pyarrow"
+    )
     return joined.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(k)
 
 
@@ -210,12 +211,20 @@ def customer_nation_revenue(sf_dir: str):
         )
     )
     cust = tbl(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    joined = per_cust.join(
+    # task-based hash join (see q3_top_revenue_orders: Dataset.join's
+    # per-partition actor reservation measured 33 s vs ~2 s here at
+    # sf0.01 on 8 cpus)
+    from .util import bucketed_join
+
+    joined = bucketed_join(
+        per_cust,
         cust,
-        join_type="inner",
-        num_partitions=16,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
+        key_col="o_custkey",
+        right_key="c_custkey",
+        value_col="c_nationkey",
+        out_col="c_nationkey",
+        carry={"revenue": pa.float64(), "n_orders": pa.int64()},
+        value_type=pa.int64(),
     )
 
     nation = tbl(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
