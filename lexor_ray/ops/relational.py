@@ -78,7 +78,8 @@ def q3_top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     filtered key set via ``ray.put`` (semi-join, no shuffle). Orders ⋈
     lineitem is large ⋈ large → partial-aggregate lineitem revenue per
     orderkey first (shrinks the probe side to one row per order), then
-    a hash-partitioned ``Dataset.join``."""
+    the task-based ``bucketed_join`` (``Dataset.join``'s actor pool
+    starves small CPU budgets — see the inline note below)."""
     import ray
 
     def segment_keys(batch: pa.Table) -> pa.Table:
@@ -185,8 +186,8 @@ def customer_nation_revenue(sf_dir: str):
     1. per-batch partial aggregate of orders keyed on o_custkey
        (vectorized ``pyarrow group_by``) → global groupby(o_custkey)
        — the shuffle moves one row per customer, not per order
-    2. distributed hash join of the per-customer partials to customer
-       on custkey (``Dataset.join``; empty partitions guarded)
+    2. distributed task-based hash join (``bucketed_join``) of the
+       per-customer partials to customer on custkey
     3. nation (a TRUE fixed-size dimension, 25 rows) broadcast via
        ``ray.put`` and applied with a vectorized pandas ``.map``
     4. tiny partial → final groupby(n_name)
