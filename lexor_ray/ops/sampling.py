@@ -199,3 +199,70 @@ def corpus_sampling(
         return out
 
     return coarse_apply(decided, ["rank_bucket"], assign_rank).sort("doc_id")
+
+
+#: salt for the mixture hash — a third independent splitmix64 stream
+#: (xor-ed pre-finalizer), so fractional-epoch membership is
+#: independent of both the split and the sampling decisions.
+MIX_SALT = np.uint64(0x2545F4914F6CDD1D)
+
+#: default per-source epoch weights: upsample the first two sources
+#: (the "high-quality" tier move of GPT-3 §2.2 / The Pile), keep the
+#: rest at one epoch.
+DEFAULT_SOURCE_EPOCHS = {"src0": 2.5, "src1": 1.5}
+
+
+def mixture_weights(sf_dir: str, source_epochs: dict[str, float] | None = None):
+    """Deterministic data-mixture expansion plan: per document,
+    ``n_repeats = floor(e) + (h_mix % 10000 < frac(e) · 10000)`` where
+    ``e`` is its source's epoch weight. Fractional epochs become an
+    exact per-document Bernoulli decided by a salted ``splitmix64`` —
+    reproducible on any cluster layout, no RNG state. Embarrassingly
+    parallel: one vectorized ``map_batches``, a broadcast epoch dict,
+    no shuffle. A loader (or ``materialize_epochs``) replays the plan
+    by emitting each doc ``n_repeats`` times."""
+    epochs = source_epochs or DEFAULT_SOURCE_EPOCHS
+    ds = tbl(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def decide(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = splitmix64(ids ^ MIX_SALT)
+        src = batch.column("source").to_pandas()
+        e = src.map(lambda s: epochs.get(s, 1.0)).to_numpy(dtype=np.float64)
+        whole = np.floor(e).astype(np.int64)
+        frac_bp = np.round((e - whole) * 10000).astype(np.int64)
+        extra = (h % np.uint64(10000)).astype(np.int64) < frac_bp
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "n_repeats": pa.array(whole + extra),
+            }
+        )
+
+    return ds.map_batches(decide, batch_format="pyarrow").sort("doc_id")
+
+
+def materialize_epochs(sf_dir: str, source_epochs: dict[str, float] | None = None):
+    """Expand the mixture plan into actual training rows:
+    ``(doc_id, epoch_idx)`` repeated ``n_repeats`` times per document
+    — a vectorized per-batch ``np.repeat`` flat map, still no
+    shuffle."""
+    plan = mixture_weights(sf_dir, source_epochs)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        reps = batch.column("n_repeats").to_numpy(zero_copy_only=False)
+        out_ids = np.repeat(ids, reps)
+        # epoch_idx = 0..n_repeats-1 per doc, fully vectorized
+        ends = np.cumsum(reps)
+        starts = ends - reps
+        idx = np.arange(int(ends[-1]) if len(ends) else 0) - np.repeat(starts, reps)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "epoch_idx": pa.array(idx.astype(np.int64)),
+            }
+        )
+
+    return plan.map_batches(expand, batch_format="pyarrow")

@@ -1,0 +1,85 @@
+"""Mixture-weight expansion vs the DuckDB splitmix64 replay."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from lexor_ray.ops.sampling import (
+    MIX_SALT,
+    materialize_epochs,
+    mixture_weights,
+    splitmix64,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(parquet: str) -> pd.DataFrame:
+    """Independent arithmetic: the splitmix64 finalizer replayed in
+    DuckDB UHUGEINT mod-2^64 (same chain the driver-checked
+    corpus_sampling oracle proved bit-exact), then the epoch rule."""
+    salt = int(MIX_SALT)
+    sql = f"""
+        WITH s0 AS (
+            SELECT doc_id, source,
+                   CAST((CAST(xor(doc_id, {salt}) AS UHUGEINT)
+                         + 11400714819323198485::UHUGEINT)
+                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS z
+            FROM read_parquet('{parquet}')
+        ), s1 AS (
+            SELECT doc_id, source,
+                   CAST((CAST(xor(z, z >> 30) AS UHUGEINT)
+                         * 13787848793156543929::UHUGEINT)
+                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS z
+            FROM s0
+        ), s2 AS (
+            SELECT doc_id, source,
+                   CAST((CAST(xor(z, z >> 27) AS UHUGEINT)
+                         * 10723151780598845931::UHUGEINT)
+                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS z
+            FROM s1
+        ), hh AS (
+            SELECT doc_id, source, xor(z, z >> 31) AS h FROM s2
+        )
+        SELECT doc_id, source,
+               CAST(CASE source WHEN 'src0' THEN 2
+                                WHEN 'src1' THEN 1 ELSE 1 END
+                    + CASE WHEN (h % 10000) <
+                           CASE source WHEN 'src0' THEN 5000
+                                       WHEN 'src1' THEN 5000 ELSE 0 END
+                           THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+        FROM hh ORDER BY doc_id
+    """
+    con = duckdb.connect()
+    return con.sql(sql).df()
+
+
+def test_mixture_weights_matches_duckdb(ray_session):
+    got = mixture_weights(SF).to_pandas().reset_index(drop=True)
+    want = _oracle(f"{SF}/documents.parquet")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # both fractional branches must occur, or the hash rule is untested
+    src0 = got[got["source"] == "src0"]["n_repeats"]
+    assert set(src0) == {2, 3}
+
+
+def test_mixture_weights_custom_epochs(ray_session):
+    got = mixture_weights(SF, {"src2": 3.0}).to_pandas()
+    assert (got[got["source"] == "src2"]["n_repeats"] == 3).all()
+    assert (got[got["source"] != "src2"]["n_repeats"] == 1).all()
+
+
+def test_materialize_epochs_counts(ray_session):
+    plan = mixture_weights(SF).to_pandas()
+    rows = materialize_epochs(SF).to_pandas()
+    counts = rows.groupby("doc_id").size()
+    want = plan.set_index("doc_id")["n_repeats"]
+    want = want[want > 0]
+    assert counts.sort_index().equals(want.sort_index().astype(counts.dtype))
+    # epoch_idx is exactly 0..n-1 per doc
+    assert (
+        rows.sort_values(["doc_id", "epoch_idx"])
+        .groupby("doc_id")["epoch_idx"]
+        .agg(lambda s: (s.to_numpy() == np.arange(len(s))).all())
+        .all()
+    )
