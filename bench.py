@@ -121,6 +121,12 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("pii_scrub", lambda: pii.pii_scrub(sf_dir).to_pandas())
     timed("decontaminate", lambda: decontam.decontaminate(sf_dir).to_pandas())
 
+    from lexor_ray.ops import cleaning, packing, sampling
+
+    timed("c4_clean", lambda: cleaning.c4_clean(sf_dir).to_pandas())
+    timed("pack_sequences", lambda: packing.pack_sequences(sf_dir).to_pandas())
+    timed("corpus_sampling", lambda: sampling.corpus_sampling(sf_dir).to_pandas())
+
     # round-comparable BIG headline: the sf0.1 input (100k turns) is
     # startup-dominated (~1.5 s wall for ~0.15 s of extraction work),
     # so round-over-round deltas on it measure Ray session warmup, not
