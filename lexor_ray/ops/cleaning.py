@@ -162,3 +162,104 @@ def c4_clean_oracle_sql(parquet_path: str, min_words: int = 3) -> str:
                    AS n_dup_lines
         FROM f GROUP BY doc_id ORDER BY doc_id
     """
+
+
+def span_dedup(sf_dir: str, span_sents: int = 3, delim: str = ". "):
+    """C4's OTHER dedup (Raffel et al. 2020 §2.2): exact global
+    deduplication of ``span_sents``-sentence spans ACROSS documents —
+    every repeated span is removed except its first occurrence in
+    global ``(doc_id, span_idx)`` order.
+
+    Sentences are ``delim``-separated (a plain split, mirrored exactly
+    by ``string_split`` on the SQL side — no regex dialect risk);
+    spans are the non-overlapping groups of ``span_sents`` consecutive
+    sentences. Emits the span-level decision table
+    ``(doc_id, span_idx, span, kept)`` — a loader (or
+    :func:`span_dedup_docs`) reassembles cleaned documents from the
+    kept spans.
+
+    Scale shape: explode is a vectorized ``map_batches``; the
+    first-occurrence winner per distinct span is ONE coarse keyed
+    shuffle on the span text (``coarse_apply``: within each bucket a
+    single C-level groupby-min — no per-span Python). At 100 TB the
+    shuffle key is the span string; to cut shuffle bytes, swap the key
+    for a 128-bit hash and keep the text only on the winner check —
+    the code path is identical (document the collision rate); the
+    testdata-scale version shuffles the text itself so equality is
+    exact."""
+    from .util import coarse_apply
+
+    ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode_spans(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        # regex=False: a multi-char pat is otherwise treated as a
+        # regex, and '.' would match any character
+        sents = texts.str.split(delim, regex=False)
+        n = sents.map(len).to_numpy(np.int64)
+        row = np.repeat(np.arange(len(texts)), n)
+        flat = sents.explode().to_numpy()
+        # sentence index within doc -> non-overlapping span index
+        starts = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum(n, out=starts[1:])
+        sent_idx = np.arange(len(flat)) - starts[row]
+        span_idx = sent_idx // span_sents
+        df = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64)[row],
+                "span_idx": span_idx,
+                "sent_idx": sent_idx,
+                "sent": flat,
+            }
+        )
+        # join the sentences of each span back together (C groupby agg)
+        g = df.groupby(["doc_id", "span_idx"], sort=False)
+        spans = g["sent"].agg(delim.join)
+        out = spans.reset_index()
+        out.columns = ["doc_id", "span_idx", "span"]
+        return out
+
+    spans = ds.map_batches(explode_spans, batch_format="pandas")
+
+    def first_occurrence(g: pd.DataFrame) -> pd.DataFrame:
+        # global winner per span value: min (doc_id, span_idx)
+        order = g.sort_values(["span", "doc_id", "span_idx"], kind="mergesort")
+        kept = ~order.duplicated("span")
+        out = order.copy()
+        out["kept"] = kept
+        return out
+
+    return coarse_apply(spans, ["span"], first_occurrence).sort(
+        ["doc_id", "span_idx"]
+    )
+
+
+def span_dedup_docs(sf_dir: str, span_sents: int = 3, delim: str = ". "):
+    """Reassembled documents after :func:`span_dedup`: kept spans
+    rejoined in order — the cleaned corpus C4 trains on. ONE more
+    keyed shuffle (doc_id)."""
+    from .util import coarse_apply
+
+    decided = span_dedup(sf_dir, span_sents, delim)
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "span_idx"], kind="mergesort")
+        kept = g[g["kept"]]
+        joined = kept.groupby("doc_id", sort=False)["span"].agg(delim.join)
+        n_spans = g.groupby("doc_id", sort=False).size()
+        n_kept = (
+            g[g["kept"]].groupby("doc_id", sort=False).size().reindex(
+                n_spans.index, fill_value=0
+            )
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": n_spans.index.to_numpy(np.int64),
+                "clean_text": joined.reindex(n_spans.index, fill_value="")
+                .to_numpy(),
+                "n_spans": n_spans.to_numpy(np.int64),
+                "n_kept_spans": n_kept.to_numpy(np.int64),
+            }
+        )
+
+    return coarse_apply(decided, ["doc_id"], rebuild).sort("doc_id")
