@@ -479,3 +479,75 @@ def embedding_label_centroids(sf_dir: str):
         )
 
     return parts.groupby("label").map_groups(merge, batch_format="pandas").sort("label")
+
+
+def semdedup(
+    sf_dir: str,
+    k: int = 8,
+    threshold: float = 0.95,
+    kmeans_iters: int = 4,
+    cluster_cap: int = 8192,
+):
+    """SemDeDup (Abbas et al. 2023, public): semantic deduplication by
+    k-means clustering + exact within-cluster cosine pruning. A vector
+    is DROPPED iff some lower-``vec_id`` vector in its cluster has
+    cosine ≥ ``threshold`` to it (the deterministic star rule — one
+    vectorized upper-triangular pass, no sequential dependence).
+    Returns ``(vec_id, cluster, kept)``.
+
+    Scale shape: the Lloyd's loop is the existing distributed
+    :func:`_kmeans_centroids` (broadcast centroids + per-batch
+    partials); assignment is one vectorized ``map_batches``; pruning
+    shuffles each cluster to one task (``groupby(cluster)`` — k
+    groups, so per-group overhead is nil) and runs ONE ``E @ E.T``
+    per ≤``cluster_cap`` chunk. At 100 TB pick k so clusters stay
+    near the cap (the paper's own regime: k grows with corpus size);
+    oversized clusters are chunked by ``vec_id`` ranges and pruned
+    within-chunk — a documented approximation that only MISSES dups
+    straddling a chunk boundary, never drops a non-dup."""
+    import ray
+
+    centroids = _kmeans_centroids(sf_dir, k, kmeans_iters)
+    ds = tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    c_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        emb = _normalize(
+            np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        )
+        cluster = np.argmax(emb @ c.T, axis=1).astype(np.int32)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cluster": pa.array(cluster),
+                "emb": pa.array(list(emb), type=pa.list_(pa.float64())),
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id", kind="mergesort")
+        outs = []
+        for s in range(0, len(g), cluster_cap):
+            ch = g.iloc[s : s + cluster_cap]
+            e = np.asarray(ch["emb"].tolist(), dtype=np.float64)
+            sim = e @ e.T
+            has_earlier_dup = np.triu(sim >= threshold, 1).any(axis=0)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": ch["vec_id"].to_numpy(np.int64),
+                        "cluster": ch["cluster"].to_numpy(np.int32),
+                        "kept": ~has_earlier_dup,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        assigned.groupby("cluster")
+        .map_groups(prune, batch_format="pandas")
+        .sort("vec_id")
+    )

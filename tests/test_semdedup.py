@@ -1,0 +1,69 @@
+"""SemDeDup: numpy reference parity + planted semantic duplicates."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lexor_ray.ops.similarity import (
+    _kmeans_centroids,
+    _normalize,
+    semdedup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_semdedup_matches_numpy_reference(ray_session):
+    got = semdedup(SF, k=8, threshold=0.35).to_pandas()
+
+    # independent reference for the PRUNE stage: same centroids (the
+    # kmeans loop has its own tests), then a plain numpy replay of the
+    # assignment + star rule over the whole table at once
+    src = pd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    src = src.sort_values("vec_id").reset_index(drop=True)
+    emb = _normalize(np.asarray(src["embedding"].tolist(), dtype=np.float64))
+    c = _kmeans_centroids(SF, 8, 4)
+    cluster = np.argmax(emb @ c.T, axis=1)
+    kept = np.ones(len(src), dtype=bool)
+    for ci in np.unique(cluster):
+        idx = np.flatnonzero(cluster == ci)  # vec_id-sorted already
+        sim = emb[idx] @ emb[idx].T
+        kept[idx] = ~np.triu(sim >= 0.35, 1).any(axis=0)
+
+    want = pd.DataFrame(
+        {"vec_id": src["vec_id"], "cluster": cluster.astype(np.int32), "kept": kept}
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
+    # the corpus max pairwise cosine is 0.479, so 0.35 must drop some
+    assert (~got["kept"]).sum() > 0
+    assert got["kept"].sum() > 0
+
+
+def test_semdedup_planted_duplicates(ray_session, tmp_path):
+    """Exact duplicate vectors always share a cluster (identical
+    assignment), so exactly the first copy of each group survives."""
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(40, 16)).astype(np.float32)
+    # ids 0..39 unique; 40..59 duplicate ids 0..19 exactly
+    vecs = np.vstack([base, base[:20]])
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(60), type=pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs],
+                    type=pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0] * 60, type=pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    got = semdedup(str(tmp_path), k=4, threshold=0.999).to_pandas()
+    kept = got.set_index("vec_id")["kept"]
+    assert kept.loc[range(40)].all(), "an original was dropped"
+    assert not kept.loc[range(40, 60)].any(), "a planted duplicate survived"
