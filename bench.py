@@ -124,6 +124,10 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     from lexor_ray.ops import cleaning, packing, sampling
 
     timed("c4_clean", lambda: cleaning.c4_clean(sf_dir).to_pandas())
+    timed(
+        "passage_dedup",
+        lambda: cleaning.passage_dedup_docs(sf_dir, k=8, key="hash").to_pandas(),
+    )
     timed("pack_sequences", lambda: packing.pack_sequences(sf_dir).to_pandas())
     timed("corpus_sampling", lambda: sampling.corpus_sampling(sf_dir).to_pandas())
 

@@ -234,6 +234,204 @@ def span_dedup(sf_dir: str, span_sents: int = 3, delim: str = ". "):
     )
 
 
+def dup_passages(sf_dir: str, k: int = 50, key: str = "text"):
+    """ExactSubstr duplicated-passage detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 §4.1): a passage of ``>= k`` tokens that occurs
+    more than once in the corpus is duplicated. The k-gram window
+    re-expression: slide a window of ``k`` whitespace tokens at stride
+    1 over every document; a window string occurring at two or more
+    ``(doc_id, tok_start)`` positions is a duplicate hit, and every
+    occurrence except the FIRST in global ``(doc_id, tok_start)``
+    order is marked for removal. A duplicated run of ``m >= k``
+    tokens is exactly the union of its ``m - k + 1`` duplicated
+    windows, so cutting the covered tokens (``passage_dedup_docs``)
+    removes maximal duplicated passages — the paper's suffix-array
+    semantics at threshold ``k``, reached with ONE keyed shuffle
+    instead of a global suffix sort.
+
+    Emits only the duplicated occurrences ``(doc_id, tok_start,
+    window, kept)`` — unique windows never leave their shuffle group,
+    so output is proportional to duplication, not corpus size.
+
+    Scale shape: window explode is a vectorized ``map_batches``
+    (``k - 1`` elementwise string concatenations, no Python per row);
+    the winner decision is ONE coarse keyed shuffle. ``key="text"``
+    shuffles the window string itself (exact equality, the
+    oracle-checked tier); ``key="hash"`` shuffles a 64-bit window
+    hash plus positions only — the 100-TB tier, cutting shuffle bytes
+    ~k×; hash equality stands in for string equality (collision odds
+    ~n²/2⁶⁴; both tiers asserted identical in
+    tests/test_passage_dedup.py) and the emitted ``window`` column is
+    then the hash's decimal string."""
+    from .util import coarse_apply
+
+    ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode_windows(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        toks = texts.str.findall(r"\S+")
+        n = toks.map(len).to_numpy(np.int64)
+        nw = np.maximum(n - k + 1, 0)
+        if nw.sum() == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "tok_start": pd.Series([], dtype=np.int64),
+                    "window": pd.Series([], dtype=object),
+                }
+            )
+        row = np.repeat(np.arange(len(texts)), nw)
+        starts = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum(n, out=starts[1:])
+        flat = np.concatenate(
+            [t if t else np.empty(0, dtype=object) for t in toks]
+        ).astype(object)
+        wcum = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum(nw, out=wcum[1:])
+        s_local = np.arange(int(nw.sum()), dtype=np.int64) - wcum[row]
+        g = starts[row] + s_local
+        win = flat[g]
+        for j in range(1, k):
+            win = win + " "
+            win = win + flat[g + j]
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64)[row],
+                "tok_start": s_local,
+                "window": win,
+            }
+        )
+        if key == "hash":
+            h = pd.util.hash_array(out["window"].to_numpy())
+            out["window"] = h.astype(np.uint64).astype(str)
+        return out
+
+    wins = ds.map_batches(explode_windows, batch_format="pandas")
+
+    def decide(g: pd.DataFrame) -> pd.DataFrame:
+        order = g.sort_values(
+            ["window", "doc_id", "tok_start"], kind="mergesort"
+        )
+        dup_any = order.duplicated("window", keep=False)
+        kept = ~order.duplicated("window")
+        out = order[dup_any].copy()
+        out["kept"] = kept[dup_any]
+        return out
+
+    return coarse_apply(wins, ["window"], decide).sort(
+        ["doc_id", "tok_start"]
+    )
+
+
+def passage_dedup_docs(sf_dir: str, k: int = 50, key: str = "text"):
+    """Documents after ExactSubstr passage removal: every token covered
+    by a non-first duplicated window (:func:`dup_passages`) is cut and
+    the survivors re-joined with single spaces (token-normalized
+    output, exactly mirrored by the SQL oracle's
+    ``string_agg(tok, ' ')``). ONE more keyed shuffle (doc_id): docs
+    and their removal starts meet in coarse buckets, coverage is
+    stamped with a vectorized interval diff + cumsum — no per-doc
+    Python."""
+    from .util import coarse_apply
+
+    decided = dup_passages(sf_dir, k, key)
+
+    # both union sides emit the SAME explicit arrow schema — an empty
+    # removal batch would otherwise infer a null-typed text column and
+    # a mixed-schema union (CLAUDE.md sort-sampler rule)
+    _tag_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("tok_start", pa.int64()),
+            ("text", pa.string()),
+            ("side", pa.int8()),
+        ]
+    )
+
+    def rem_only(batch: pd.DataFrame) -> pa.Table:
+        r = batch[~batch["kept"]]
+        return pa.table(
+            {
+                "doc_id": r["doc_id"].to_numpy(np.int64),
+                "tok_start": r["tok_start"].to_numpy(np.int64),
+                "text": np.full(len(r), "", dtype=object),
+                "side": np.zeros(len(r), dtype=np.int8),
+            },
+            schema=_tag_schema,
+        )
+
+    removals = decided.map_batches(rem_only, batch_format="pandas")
+
+    docs = tbl(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "tok_start": np.full(len(b), -1, dtype=np.int64),
+                "text": b["text"].fillna("").to_numpy(object),
+                "side": np.ones(len(b), dtype=np.int8),
+            },
+            schema=_tag_schema,
+        ),
+        batch_format="pandas",
+    )
+
+    tagged = docs.union(removals)
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["side"] == 1]
+        texts = pd.Series(d["text"].to_numpy(object)).fillna("")
+        toks = texts.str.findall(r"\S+")
+        n = toks.map(len).to_numpy(np.int64)
+        ids = d["doc_id"].to_numpy(np.int64)
+        starts = np.zeros(len(d) + 1, dtype=np.int64)
+        np.cumsum(n, out=starts[1:])
+        total = int(starts[-1])
+        flat = (
+            np.concatenate([t if t else np.empty(0, dtype=object) for t in toks]).astype(object)
+            if total
+            else np.empty(0, dtype=object)
+        )
+        # interval-stamp coverage: +1 at each removal start, -1 past end
+        diff = np.zeros(total + 1, dtype=np.int64)
+        r = g[g["side"] == 0]
+        if len(r):
+            pos = {int(i): j for j, i in enumerate(ids)}
+            rdoc = np.fromiter(
+                (pos[int(i)] for i in r["doc_id"].to_numpy(np.int64)),
+                dtype=np.int64,
+                count=len(r),
+            )
+            rs = starts[rdoc] + r["tok_start"].to_numpy(np.int64)
+            np.add.at(diff, rs, 1)
+            np.add.at(diff, np.minimum(rs + k, total), -1)
+        covered = np.cumsum(diff[:total]) > 0
+        row = np.repeat(np.arange(len(d)), n)
+        keep = ~covered
+        joined = (
+            pd.Series(flat[keep]).groupby(row[keep]).agg(" ".join)
+            if total
+            else pd.Series(dtype=object)
+        )
+        clean = np.full(len(d), "", dtype=object)
+        if len(joined):
+            clean[joined.index.to_numpy()] = joined.to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "clean_text": clean,
+                "n_tokens": n,
+                "n_removed_tokens": np.bincount(
+                    row[covered], minlength=len(d)
+                ).astype(np.int64)
+                if total
+                else np.zeros(len(d), dtype=np.int64),
+            }
+        )
+
+    return coarse_apply(tagged, ["doc_id"], rebuild).sort("doc_id")
+
+
 def span_dedup_docs(sf_dir: str, span_sents: int = 3, delim: str = ". "):
     """Reassembled documents after :func:`span_dedup`: kept spans
     rejoined in order — the cleaned corpus C4 trains on. ONE more

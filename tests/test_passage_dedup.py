@@ -1,0 +1,175 @@
+"""ExactSubstr duplicated-passage dedup vs the DuckDB replay.
+
+The crafted corpus stitches documents out of a small pool of
+multi-token passages so that runs of >= k tokens genuinely repeat
+across documents (Lee et al. 2021 setting); filler tokens are unique
+per position so only the planted passages can collide.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lexor_ray.ops.cleaning import dup_passages, passage_dedup_docs
+
+SF = "/root/testdata/sf0.001"
+K = 5
+
+
+@pytest.fixture(scope="module")
+def passage_corpus(tmp_path_factory):
+    rng = np.random.default_rng(23)
+    pool = [
+        " ".join(f"p{p}w{w}" for w in range(int(rng.integers(6, 12))))
+        for p in range(8)
+    ]
+    docs = []
+    uniq = 0
+    for i in range(120):
+        parts = []
+        for _ in range(int(rng.integers(0, 5))):
+            if rng.random() < 0.6:
+                parts.append(str(rng.choice(pool)))
+            else:
+                parts.append(" ".join(f"u{uniq}x{j}" for j in range(4)))
+                uniq += 1
+        docs.append(" ".join(parts))
+    # a planted exact-duplicate pair (>= K tokens): the later copy must
+    # be fully removed by passage_dedup_docs
+    docs[100] = "dup a1 b2 c3 d4 e5 f6 g7 h8"
+    docs[110] = docs[100]
+    d = tmp_path_factory.mktemp("passagecorpus")
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+             "text": pa.array(docs)}
+        ),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+def _wins_sql(parquet: str, k: int) -> str:
+    return f"""
+        WITH t AS (
+            SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+            FROM read_parquet('{parquet}')
+        ), u AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, greatest(len(toks) - {k} + 1, 0))) AS i
+            FROM t
+        ), w AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS tok_start,
+                   array_to_string(list_slice(toks, i + 1, i + {k}), ' ')
+                       AS "window"
+            FROM u
+        )
+        SELECT doc_id, tok_start, "window",
+               row_number() OVER (PARTITION BY "window"
+                                  ORDER BY doc_id, tok_start) = 1 AS kept
+        FROM w
+        QUALIFY count(*) OVER (PARTITION BY "window") > 1
+        ORDER BY doc_id, tok_start
+    """
+
+
+def _docs_sql(parquet: str, k: int) -> str:
+    return f"""
+        WITH t AS (
+            SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+            FROM read_parquet('{parquet}')
+        ), d AS ({_wins_sql(parquet, k)}),
+        rem AS (SELECT doc_id, tok_start FROM d WHERE NOT kept),
+        tok AS (
+            SELECT doc_id, unnest(toks) AS tok,
+                   unnest(range(0, len(toks))) AS i
+            FROM t
+        ), cov AS (
+            SELECT x.doc_id, x.i, x.tok,
+                   EXISTS (SELECT 1 FROM rem r
+                           WHERE r.doc_id = x.doc_id
+                             AND x.i BETWEEN r.tok_start
+                                         AND r.tok_start + {k} - 1)
+                       AS removed
+            FROM tok x
+        ), agg AS (
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN NOT removed THEN tok END,
+                                       ' ' ORDER BY i), '') AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_removed_tokens
+            FROM cov GROUP BY doc_id
+        )
+        SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+               coalesce(a.n_tokens, 0) AS n_tokens,
+               coalesce(a.n_removed_tokens, 0) AS n_removed_tokens
+        FROM t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
+    """
+
+
+def test_dup_passages_matches_duckdb(ray_session, passage_corpus):
+    got = (
+        dup_passages(passage_corpus, k=K)
+        .to_pandas()
+        .reset_index(drop=True)[["doc_id", "tok_start", "window", "kept"]]
+    )
+    con = duckdb.connect()
+    want = con.sql(_wins_sql(f"{passage_corpus}/documents.parquet", K)).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (~got["kept"]).sum() > 0
+    # exactly one winner per distinct duplicated window value
+    assert got[got["kept"]]["window"].is_unique
+    assert set(got[got["kept"]]["window"]) == set(got["window"])
+
+
+def test_hash_tier_identical_decisions(ray_session, passage_corpus):
+    """key='hash' (the 100-TB shuffle tier) must make the same
+    (doc_id, tok_start, kept) decisions as the exact-string tier."""
+    text = (
+        dup_passages(passage_corpus, k=K)
+        .to_pandas()[["doc_id", "tok_start", "kept"]]
+        .reset_index(drop=True)
+    )
+    hashed = (
+        dup_passages(passage_corpus, k=K, key="hash")
+        .to_pandas()[["doc_id", "tok_start", "kept"]]
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(text, hashed)
+
+
+def test_passage_dedup_docs_matches_duckdb(ray_session, passage_corpus):
+    got = (
+        passage_dedup_docs(passage_corpus, k=K)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = con.sql(_docs_sql(f"{passage_corpus}/documents.parquet", K)).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the planted later exact-duplicate doc is fully cut
+    row = got[got["doc_id"] == 110].iloc[0]
+    assert row["clean_text"] == ""
+    assert row["n_removed_tokens"] == row["n_tokens"] > 0
+    # and its first occurrence is fully kept
+    first = got[got["doc_id"] == 100].iloc[0]
+    assert first["n_removed_tokens"] == 0
+
+
+def test_passage_dedup_on_testdata(ray_session):
+    """The testdata word-soup: every planted exact-duplicate document
+    shares all its windows with the first copy, so each later copy
+    loses every token; a doc whose text is globally unique loses none
+    unless it shares a k-run by chance (checked exactly vs DuckDB)."""
+    got = passage_dedup_docs(SF, k=8).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    want = con.sql(_docs_sql(f"{SF}/documents.parquet", 8)).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    src = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    dup_later = src[src.duplicated("text") & (src["text"].str.len() > 0)]
+    sub = got.set_index("doc_id").loc[dup_later["doc_id"]]
+    assert (sub["n_removed_tokens"] == sub["n_tokens"]).all()
