@@ -53,10 +53,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     media_features/frame_sample/resize_media → media_pipeline,
     turns_per_conversation → conversation_stats_salted (identical
     output + SQL; the plain variant stays tested in pytest),
-    lang_distribution ⊂ lang_id (per-doc rows determine the roll-up),
+    lang_distribution ⊂ lang_id ⊂ doc_signals (lang_id +
+    repetition_signals fused into one per-doc scan since r3 to make
+    room for nb_quality; the standalone ops stay column-identity
+    tested in pytest),
     ngram_jaccard_pairs+simhash_candidates → neardup_candidates
     (tagged union of both candidate/score sets)."""
     from lexor_ray.ops import (
+        classify,
         decontam,
         dedup,
         multimodal,
@@ -144,12 +148,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": textstats.fingerprints,
         "bpe_token_counts": textstats.bpe_token_counts,
         "tfidf_top_terms": textstats.tfidf_top_terms,
+        # doc_signals fuses lang_id + repetition_signals into one scan;
         # lang_id's per-doc (pred_lang, lang) rows SUBSUME the
         # lang_distribution roll-up (a deterministic groupby of the
-        # checked column); the distribution op stays tested in pytest
-        "lang_id": textstats.lang_id,
-        "repetition_signals": textstats.repetition_signals,
+        # checked column); the standalone ops stay identity-tested
+        "doc_signals": textstats.doc_signals,
         "doc_length_quantiles": textstats.doc_length_quantiles,
+        # CCNet/DCLM-style model-based quality classifier: Naive Bayes
+        # distilled from the rule filter over the splitmix64 train
+        # split, integer micro-nat scores → the full train+score chain
+        # replays exactly in DuckDB
+        "nb_quality": classify.nb_quality_scores,
         # multimodal scalar roll-up (SQL-checked)
         "media_byte_totals": multimodal.media_byte_totals,
         # ---- rows-only tail (genuinely non-SQL: seeded hash
@@ -691,9 +700,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, doc_id, term, floor(s * 1000000) / 1000000 AS tfidf
             FROM ranked WHERE rk <= 3 ORDER BY source, doc_id, term
         """,
-        # Marker-count argmax with the Ray op's first-wins tie order
-        # (en, de, fr, es) encoded as the nested CASE.
-        "lang_id": r"""
+        # Fused per-doc scan: marker-count argmax with the Ray op's
+        # first-wins tie order (en, de, fr, es) encoded as the nested
+        # CASE, joined with the Gopher repetition signal set sizes.
+        "doc_signals": r"""
             WITH w AS (
                 SELECT doc_id, lang, text,
                        regexp_extract_all(lower(text), '[\p{L}]+') AS words
@@ -709,16 +719,29 @@ def oracle_sql() -> dict[str, str]:
                        len(list_filter(words, x -> list_contains(
                            ['con','el','es','la','las','los','por','que','una','y'], x))) AS es
                 FROM w
+            ), rep AS (
+                SELECT doc_id,
+                       CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+                            THEN []
+                            ELSE string_split_regex(
+                                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+                       END AS rwords,
+                       string_split(text, chr(10)) AS rlines
+                FROM documents
             )
-            SELECT doc_id,
+            SELECT c.doc_id,
                    CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
                         WHEN nw = 0 THEN 'en'
                         WHEN en >= de AND en >= fr AND en >= es THEN 'en'
                         WHEN de >= fr AND de >= es THEN 'de'
                         WHEN fr >= es THEN 'fr'
                         ELSE 'es' END AS pred_lang,
-                   lang
-            FROM c ORDER BY doc_id
+                   lang,
+                   CAST(len(rwords) AS BIGINT) AS n_words,
+                   CAST(len(list_distinct(rwords)) AS BIGINT) AS n_distinct_words,
+                   CAST(len(rlines) AS BIGINT) AS n_lines,
+                   CAST(len(list_distinct(rlines)) AS BIGINT) AS n_distinct_lines
+            FROM c JOIN rep USING (doc_id) ORDER BY c.doc_id
         """,
         # Exact shingle-set arithmetic over the deterministic
         # even/odd successor pair rule (integer sizes — no float
@@ -746,24 +769,106 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0
             ORDER BY a
         """,
-        # Gopher-style repetition signal inputs (integer set sizes)
-        "repetition_signals": r"""
-            WITH t AS (
+        # Full Naive-Bayes train+score replay: the oracle RETRAINS the
+        # model in SQL (splitmix64 split hash in UHUGEINT mod-2^64,
+        # teacher rule labels, word counts, floor(ln·1e6) fixed-point
+        # log-probs) and rescores every document; integer micro-nat
+        # scores make the comparison exact.
+        "nb_quality": r"""
+            WITH base AS (
+                SELECT doc_id, coalesce(text, '') AS text FROM documents
+            ), s0 AS (
                 SELECT doc_id,
-                       CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
-                            THEN []
-                            ELSE string_split_regex(
-                                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
-                       END AS words,
-                       string_split(text, chr(10)) AS lines
-                FROM documents
+                       CAST((CAST(doc_id AS UHUGEINT)
+                             + 11400714819323198485::UHUGEINT)
+                            % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
+                FROM base
+            ), s1 AS (
+                SELECT doc_id,
+                       CAST((CAST(xor(za, za >> 30) AS UHUGEINT)
+                             * 13787848793156543929::UHUGEINT)
+                            % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
+                FROM s0
+            ), s2 AS (
+                SELECT doc_id,
+                       CAST((CAST(xor(za, za >> 27) AS UHUGEINT)
+                             * 10723151780598845931::UHUGEINT)
+                            % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
+                FROM s1
+            ), hh AS (
+                SELECT doc_id, xor(za, za >> 31) % 1000 < 900 AS is_train
+                FROM s2
+            ), lab AS (
+                SELECT b.doc_id, h.is_train,
+                       len(regexp_extract_all(b.text, '\S+')) AS n_tokens,
+                       (len(regexp_extract_all(b.text, '\S+')) >= 20
+                        AND length(regexp_replace(b.text,
+                                '[^!-/:-@\[-`{-~]', '', 'g')) * 100
+                            <= length(b.text) * 5) AS label
+                FROM base b JOIN hh h USING (doc_id)
+            ), trainw AS (
+                SELECT l.doc_id, l.label,
+                       unnest(regexp_extract_all(b.text, '\S+')) AS word
+                FROM base b JOIN lab l USING (doc_id)
+                WHERE l.is_train
+            ), wc AS (
+                SELECT word,
+                       CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+                           AS cp,
+                       CAST(sum(CASE WHEN NOT label THEN 1 ELSE 0 END)
+                            AS BIGINT) AS cf
+                FROM trainw GROUP BY word
+            ), const AS (
+                SELECT (SELECT count(DISTINCT word) FROM trainw) AS v,
+                       (SELECT count(*) FROM trainw WHERE label) AS t_pass,
+                       (SELECT count(*) FROM trainw WHERE NOT label) AS t_fail,
+                       (SELECT count(*) FROM lab WHERE is_train AND label)
+                           AS d_pass,
+                       (SELECT count(*) FROM lab WHERE is_train AND NOT label)
+                           AS d_fail
+            ), km AS (
+                SELECT CAST(floor(ln(1 / (t_pass + v)) * 1e6) AS BIGINT)
+                           AS oov_pass,
+                       CAST(floor(ln(1 / (t_fail + v)) * 1e6) AS BIGINT)
+                           AS oov_fail,
+                       CAST(floor(ln((d_pass + 1) / (d_pass + d_fail + 2))
+                                  * 1e6) AS BIGINT) AS prior_pass,
+                       CAST(floor(ln((d_fail + 1) / (d_pass + d_fail + 2))
+                                  * 1e6) AS BIGINT) AS prior_fail
+                FROM const
+            ), model AS (
+                SELECT word,
+                       CAST(floor(ln((cp + 1) / (t_pass + v)) * 1e6) AS BIGINT)
+                           AS lp_pass,
+                       CAST(floor(ln((cf + 1) / (t_fail + v)) * 1e6) AS BIGINT)
+                           AS lp_fail
+                FROM wc, const
+            ), tok AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
+                FROM base
+            ), contrib AS (
+                SELECT t.doc_id,
+                       coalesce(m.lp_pass, k.oov_pass) AS lp_pass,
+                       coalesce(m.lp_fail, k.oov_fail) AS lp_fail,
+                       CASE WHEN m.word IS NULL THEN 1 ELSE 0 END AS is_oov
+                FROM tok t LEFT JOIN model m ON t.word = m.word
+                CROSS JOIN km k
+            ), per_doc AS (
+                SELECT doc_id,
+                       CAST(sum(lp_pass) AS BIGINT) AS sp,
+                       CAST(sum(lp_fail) AS BIGINT) AS sf,
+                       CAST(sum(is_oov) AS BIGINT) AS n_oov
+                FROM contrib GROUP BY doc_id
             )
-            SELECT doc_id,
-                   CAST(len(words) AS BIGINT) AS n_words,
-                   CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_words,
-                   CAST(len(lines) AS BIGINT) AS n_lines,
-                   CAST(len(list_distinct(lines)) AS BIGINT) AS n_distinct_lines
-            FROM t ORDER BY doc_id
+            SELECT l.doc_id, l.is_train, l.label,
+                   CAST(l.n_tokens AS BIGINT) AS n_tokens,
+                   coalesce(p.n_oov, 0) AS n_oov,
+                   k.prior_pass + coalesce(p.sp, 0) AS score_pass,
+                   k.prior_fail + coalesce(p.sf, 0) AS score_fail,
+                   k.prior_pass + coalesce(p.sp, 0)
+                       >= k.prior_fail + coalesce(p.sf, 0) AS pred
+            FROM lab l LEFT JOIN per_doc p USING (doc_id) CROSS JOIN km k
+            ORDER BY l.doc_id
         """,
         # discrete quantiles; rank convention floor((n-1)*q) matches
         # quantile_disc exactly

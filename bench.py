@@ -129,6 +129,12 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         lambda: cleaning.passage_dedup_docs(sf_dir, k=8, key="hash").to_pandas(),
     )
     timed("pack_sequences", lambda: packing.pack_sequences(sf_dir).to_pandas())
+
+    from lexor_ray.ops import classify
+
+    timed(
+        "nb_quality", lambda: classify.nb_quality_scores(sf_dir).to_pandas()
+    )
     timed("corpus_sampling", lambda: sampling.corpus_sampling(sf_dir).to_pandas())
 
     # round-comparable BIG headline: the sf0.1 input (100k turns) is

@@ -1,0 +1,195 @@
+"""Model-based quality classification (fastText/CCNet-style distill).
+
+The public curation recipe (CCNet, Wenzek et al. 2020; GPT-3 §A;
+DCLM): train a cheap linear text classifier on quality labels, then
+score the whole corpus with it. Here the teacher is this repo's own
+rule-based quality filter (``textstats.filter_quality_documents``
+semantics) and the student is a multinomial Naive Bayes over
+whitespace tokens — the closed-form stand-in for fastText's linear
+classifier (no GPU, no iterative training, deterministic).
+
+Exactness: every log-probability is quantized to FIXED-POINT
+micro-nats (``floor(ln(p) * 1e6)`` as int64) at model-build time, so a
+document's score is an INTEGER sum — order-independent under any
+distributed summation, and exactly replayable in DuckDB (ln == libm
+log on both sides; int64 sums stay < 2^53-free exact range). Ties
+break toward ``pass`` (``score_pass >= score_fail``).
+
+Train/score protocol: the training set is the deterministic hash
+split of ``ops.sampling`` (``splitmix64(doc_id) % 1000 < 900`` —
+bijective, no ties); EVERY document is scored, so valid/test docs
+exercise the out-of-vocabulary path.
+
+Scale shape (100 TB):
+
+- the teacher labels + token counts are ONE vectorized pass;
+  per-(word, class) counts partial-aggregate per batch before the
+  single keyed shuffle (one row per word per class, not per token);
+- the model (vocabulary + two int64 log-prob columns) is collected to
+  the driver ONCE — vocabulary-sized, not corpus-sized; at web scale
+  insert a top-V-by-count filter between the aggregate and the
+  collect (same shuffle output, bounded model) and document V;
+- the model ships via ``ray.put`` once and is read per worker through
+  the worker cache; scoring is a shuffle-free vectorized pass
+  (``pd.Index.get_indexer`` + ``np.add.at`` integer accumulation).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .sampling import TRAIN_BP, splitmix64
+from .util import cached, tbl
+
+#: fixed-point scale for log-probabilities (micro-nats).
+_LP_SCALE = 1e6
+
+
+def _labels_and_tokens(batch: pd.DataFrame, min_words: int, max_punct_pct: int):
+    """(is_train, label, token lists) for a batch — the teacher rule
+    (integer arithmetic, identical to filter_quality_documents) plus
+    the deterministic split hash."""
+    texts = batch["text"].fillna("")
+    n_chars = texts.str.len().astype("int64")
+    n_words = texts.str.count(r"\S+").astype("int64")
+    n_punct = texts.str.count(r"[!-/:-@\[-`{-~]").astype("int64")
+    label = (
+        (n_words >= min_words) & (n_punct * 100 <= n_chars * max_punct_pct)
+    ).to_numpy()
+    h = splitmix64(batch["doc_id"].to_numpy(np.int64).view(np.uint64))
+    is_train = (h % np.uint64(1000)).astype(np.int64) < TRAIN_BP
+    return is_train, label, texts.str.findall(r"\S+")
+
+
+def train_nb_quality(
+    sf_dir: str, min_words: int = 20, max_punct_pct: int = 5
+) -> dict:
+    """Train the Naive Bayes model on the hash-split training
+    partition. Returns the broadcastable model dict:
+    ``words`` (sorted vocabulary), ``lp_pass``/``lp_fail`` (int64
+    micro-nat log-likelihoods per word), ``oov_pass``/``oov_fail``
+    (unseen-word log-likelihood per class), ``prior_pass``/
+    ``prior_fail`` (Laplace-smoothed class priors)."""
+    ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        is_train, label, toks = _labels_and_tokens(
+            batch, min_words, max_punct_pct
+        )
+        n = toks.map(len).to_numpy(np.int64)
+        row = np.repeat(np.arange(len(batch)), n)
+        keep = is_train[row]
+        # explode() emits one NaN per empty token list; dropna realigns
+        # the flat array with `row` (built from the true counts)
+        words = toks.explode().dropna().to_numpy()[keep]
+        lab = label[row][keep]
+        wc = (
+            pd.DataFrame({"word": words, "label": lab})
+            .groupby(["word", "label"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        wc.insert(0, "kind", "w")
+        dc = (
+            pd.DataFrame({"label": label[is_train]})
+            .groupby("label", sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        dc.insert(0, "kind", "d")
+        dc.insert(1, "word", "")
+        return pd.concat([wc, dc], ignore_index=True)
+
+    counts = (
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby(["kind", "word", "label"])
+        .sum("n")
+        .to_pandas()
+    )
+    counts = counts.rename(columns={"sum(n)": "n"})
+    wc = counts[counts["kind"] == "w"]
+    dc = counts[counts["kind"] == "d"]
+    d_pass = int(dc[dc["label"]]["n"].sum())
+    d_fail = int(dc[~dc["label"]]["n"].sum())
+    vocab = np.sort(wc["word"].unique())
+    v = len(vocab)
+    per_class = {}
+    for cls in (True, False):
+        sub = wc[wc["label"] == cls].set_index("word")["n"]
+        t_c = int(sub.sum())
+        cnt = sub.reindex(vocab, fill_value=0).to_numpy(np.int64)
+        denom = t_c + v
+        # math.log (libm, == DuckDB ln) per vocabulary entry — the
+        # model build is vocabulary-sized, not corpus-sized
+        lp = np.fromiter(
+            (math.floor(math.log((int(c) + 1) / denom) * _LP_SCALE) for c in cnt),
+            dtype=np.int64,
+            count=v,
+        )
+        per_class[cls] = {
+            "lp": lp,
+            "oov": math.floor(math.log(1 / denom) * _LP_SCALE),
+        }
+    d = d_pass + d_fail
+    return {
+        "words": vocab,
+        "lp_pass": per_class[True]["lp"],
+        "lp_fail": per_class[False]["lp"],
+        "oov_pass": per_class[True]["oov"],
+        "oov_fail": per_class[False]["oov"],
+        "prior_pass": math.floor(math.log((d_pass + 1) / (d + 2)) * _LP_SCALE),
+        "prior_fail": math.floor(math.log((d_fail + 1) / (d + 2)) * _LP_SCALE),
+    }
+
+
+def nb_quality_scores(
+    sf_dir: str, min_words: int = 20, max_punct_pct: int = 5
+):
+    """Train on the hash-split train partition, then score EVERY
+    document: ``(doc_id, is_train, label, n_tokens, n_oov,
+    score_pass, score_fail, pred)`` with integer micro-nat scores.
+    ``pred`` is the classifier's verdict (ties toward pass); ``label``
+    is the teacher rule's verdict for eval convenience."""
+    import ray
+
+    model_ref = ray.put(train_nb_quality(sf_dir, min_words, max_punct_pct))
+    ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        m = cached(("nb-quality-model", id(model_ref)), lambda: ray.get(model_ref))
+        idx = cached(
+            ("nb-quality-index", id(model_ref)), lambda: pd.Index(m["words"])
+        )
+        is_train, label, toks = _labels_and_tokens(
+            batch, min_words, max_punct_pct
+        )
+        n = toks.map(len).to_numpy(np.int64)
+        row = np.repeat(np.arange(len(batch)), n)
+        words = toks.explode().dropna().to_numpy()
+        pos = idx.get_indexer(words) if len(words) else np.empty(0, np.int64)
+        oov = pos < 0
+        lp_pass = np.where(oov, m["oov_pass"], m["lp_pass"][np.maximum(pos, 0)])
+        lp_fail = np.where(oov, m["oov_fail"], m["lp_fail"][np.maximum(pos, 0)])
+        sp = np.full(len(batch), m["prior_pass"], dtype=np.int64)
+        sf = np.full(len(batch), m["prior_fail"], dtype=np.int64)
+        np.add.at(sp, row, lp_pass.astype(np.int64))
+        np.add.at(sf, row, lp_fail.astype(np.int64))
+        n_oov = np.bincount(row[oov], minlength=len(batch)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "is_train": is_train,
+                "label": label,
+                "n_tokens": n,
+                "n_oov": n_oov,
+                "score_pass": sp,
+                "score_fail": sf,
+                "pred": sp >= sf,
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas").sort("doc_id")

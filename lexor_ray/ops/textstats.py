@@ -653,6 +653,41 @@ def repetition_signals(sf_dir: str):
     return ds.map_batches(signals, batch_format="pandas").sort("doc_id")
 
 
+def doc_signals(sf_dir: str):
+    """Fused per-document signal scan: ``lang_id`` + Gopher-style
+    ``repetition_signals`` in ONE pass over the documents table
+    (``doc_id, pred_lang, lang, n_words, n_distinct_words, n_lines,
+    n_distinct_lines``). Column-identical to running the two standalone
+    ops (asserted in tests/test_ops.py); exists so both
+    stay oracle-recorded within the driver's 50-entry window while
+    paying one read instead of two."""
+    ds = tbl(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    from .util import cached
+
+    def fused(batch: pd.DataFrame) -> pd.DataFrame:
+        lid = cached("lang-id", LangId)
+        texts = batch["text"].fillna("")
+        words = texts.str.strip().str.split()
+        lines = texts.str.split("\n")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "pred_lang": [lid.predict(t) for t in batch["text"]],
+                "lang": batch["lang"],
+                "n_words": words.map(len).astype("int64"),
+                "n_distinct_words": words.map(lambda w: len(set(w))).astype(
+                    "int64"
+                ),
+                "n_lines": lines.map(len).astype("int64"),
+                "n_distinct_lines": lines.map(lambda l: len(set(l))).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    return ds.map_batches(fused, batch_format="pandas").sort("doc_id")
+
+
 def doc_length_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
     """Exact discrete length quantiles over the corpus via a
     distributed value-counts histogram: per-batch grouped count on

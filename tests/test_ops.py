@@ -684,6 +684,26 @@ def test_repetition_signals_semantics(ray_session):
     assert (got["n_lines"] >= 1).all()
 
 
+def test_doc_signals_equals_standalone_ops(ray_session):
+    """The fused per-doc scan (the recorded entry) is column-identical
+    to running lang_id and repetition_signals separately — the merge
+    that keeps both inside the driver's 50-entry window loses
+    nothing."""
+    from lexor_ray.ops.textstats import doc_signals, lang_id, repetition_signals
+
+    fused = df(doc_signals(SF)).reset_index(drop=True)
+    lid = df(lang_id(SF)).reset_index(drop=True)
+    rep = df(repetition_signals(SF)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        fused[["doc_id", "pred_lang", "lang"]], lid
+    )
+    pd.testing.assert_frame_equal(
+        fused[["doc_id", "n_words", "n_distinct_words", "n_lines",
+               "n_distinct_lines"]],
+        rep,
+    )
+
+
 def test_doc_length_quantiles_monotone(ray_session):
     from lexor_ray.ops.textstats import doc_length_quantiles
 
