@@ -137,6 +137,10 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     )
     timed("corpus_sampling", lambda: sampling.corpus_sampling(sf_dir).to_pandas())
 
+    from lexor_ray.ops import bloom
+
+    timed("bloom_dedup", lambda: bloom.bloom_dedup(sf_dir).to_pandas())
+
     # round-comparable BIG headline: the sf0.1 input (100k turns) is
     # startup-dominated (~1.5 s wall for ~0.15 s of extraction work),
     # so round-over-round deltas on it measure Ray session warmup, not

@@ -160,9 +160,14 @@ def nb_quality_scores(
     ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        m = cached(("nb-quality-model", id(model_ref)), lambda: ray.get(model_ref))
+        # key by the ref's OWN id (hex), not Python id(): id() values
+        # are reused after GC, which can serve a stale cached model
+        m = cached(
+            ("nb-quality-model", model_ref.hex()), lambda: ray.get(model_ref)
+        )
         idx = cached(
-            ("nb-quality-index", id(model_ref)), lambda: pd.Index(m["words"])
+            ("nb-quality-index", model_ref.hex()),
+            lambda: pd.Index(m["words"]),
         )
         is_train, label, toks = _labels_and_tokens(
             batch, min_words, max_punct_pct
