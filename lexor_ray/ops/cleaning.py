@@ -291,21 +291,30 @@ def dup_passages(sf_dir: str, k: int = 50, key: str = "text"):
         np.cumsum(nw, out=wcum[1:])
         s_local = np.arange(int(nw.sum()), dtype=np.int64) - wcum[row]
         g = starts[row] + s_local
-        win = flat[g]
-        for j in range(1, k):
-            win = win + " "
-            win = win + flat[g + j]
-        out = pd.DataFrame(
+        if key == "hash":
+            # the scale tier never materializes window STRINGS at
+            # all: hash each token once, combine k consecutive token
+            # hashes with a uint64 polynomial (k vectorized mul-adds
+            # vs k object-string concatenations + a string hash pass)
+            th = pd.util.hash_array(flat).astype(np.uint64)
+            h = np.zeros(len(g), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                base = np.uint64(0x100000001B3)
+                for j in range(k):
+                    h = h * base + th[g + j]
+            win = h.astype(str)
+        else:
+            win = flat[g]
+            for j in range(1, k):
+                win = win + " "
+                win = win + flat[g + j]
+        return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].to_numpy(np.int64)[row],
                 "tok_start": s_local,
                 "window": win,
             }
         )
-        if key == "hash":
-            h = pd.util.hash_array(out["window"].to_numpy())
-            out["window"] = h.astype(np.uint64).astype(str)
-        return out
 
     wins = ds.map_batches(explode_windows, batch_format="pandas")
 

@@ -82,11 +82,25 @@ def _doc_hashes(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return splitmix64(ids), splitmix64(ids ^ SAMPLE_SALT)
 
 
-def _cap_thresholds(ds, cap: int) -> dict[str, int]:
-    """Per-source keep threshold: the ``cap``-th smallest h (inclusive),
-    or 2^64-1 when the source has ≤ cap documents. Distributed partial
-    top-``cap`` per batch, merged per source; the driver only ever sees
-    ≤ ``cap`` rows per source."""
+def _cap_thresholds_and_rank_offsets(ds, cap: int):
+    """BOTH tiny pre-aggregates of the curation pass from ONE input
+    scan (the two used to be separate scans — reading the whole table
+    twice for two bounded lookup tables is wasteful at scale):
+
+    - per-source keep threshold: the ``cap``-th smallest h
+      (inclusive), or 2^64-1 when the source has ≤ cap documents —
+      distributed partial top-``cap`` per batch, merged per source,
+      the driver only ever sees ≤ ``cap`` rows per source;
+    - rank offsets: exclusive prefix sums of the h-bucket histogram
+      (h >> 52, 4096 buckets) — per-batch partial counts, one small
+      groupby, ≤ 4096 rows to the driver.
+
+    The per-batch partial emits a tagged union (kind 0 = cap
+    candidate rows, kind 1 = bucket counts); the union is tiny
+    (≤ cap·|sources| + 4096 rows per batch), so materializing it and
+    running the two bounded groupbys over it costs nothing next to
+    the input read it saves."""
+    shift = np.uint64(64 - _RANK_BUCKET_BITS)
 
     def partial(batch: pa.Table) -> pa.Table:
         h, _ = _doc_hashes(batch)
@@ -98,47 +112,93 @@ def _cap_thresholds(ds, cap: int) -> dict[str, int]:
             .groupby("source", sort=False)
             .head(cap)
         )
-        return pa.Table.from_pandas(kept, preserve_index=False)
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        hs = np.sort(g["h"].to_numpy().astype(np.uint64))
-        thr = hs[cap - 1] if len(hs) >= cap else np.uint64(0xFFFFFFFFFFFFFFFF)
-        return pd.DataFrame({"source": [g["source"].iloc[0]], "thr": [thr]})
-
-    merged = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("source")
-        .map_groups(merge, batch_format="pandas")
-        .to_pandas()
-    )
-    return {
-        s: int(t) for s, t in zip(merged["source"], merged["thr"].astype(np.uint64))
-    }
-
-
-def _rank_offsets(ds) -> np.ndarray:
-    """Exclusive prefix sums of the h-bucket histogram (h >> 52, 4096
-    buckets): ``offsets[b]`` = number of documents whose hash falls in
-    an earlier bucket. Per-batch partial counts → one small groupby →
-    ≤ 4096 rows to the driver."""
-    shift = np.uint64(64 - _RANK_BUCKET_BITS)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        h, _ = _doc_hashes(batch)
         b, c = np.unique((h >> shift).astype(np.int64), return_counts=True)
-        return pa.table({"bucket": pa.array(b), "n": pa.array(c)})
+        nk, nb = len(kept), len(b)
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.r_[np.zeros(nk, np.int8), np.ones(nb, np.int8)]
+                ),
+                "source": pa.array(
+                    np.r_[
+                        kept["source"].to_numpy(object),
+                        np.full(nb, "", dtype=object),
+                    ],
+                    type=pa.string(),
+                ),
+                "h": pa.array(
+                    np.r_[
+                        kept["h"].to_numpy().astype(np.uint64),
+                        np.zeros(nb, np.uint64),
+                    ],
+                    type=pa.uint64(),
+                ),
+                "bucket": pa.array(np.r_[np.full(nk, -1, np.int64), b]),
+                "n": pa.array(np.r_[np.zeros(nk, np.int64), c]),
+            }
+        )
 
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("bucket")
-        .sum("n")
-        .to_pandas()
-    )
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        # ONE vectorized pandas pass per coarse bucket (the
+        # coarse_apply contract): per-source cap-th smallest h via
+        # sort + cumcount, histogram via C-level groupby-sum
+        out = []
+        c = df[df["kind"] == 0]
+        if len(c):
+            s = c.sort_values(["source", "h"], kind="mergesort")
+            pos = s.groupby("source", sort=False).cumcount()
+            sizes = s.groupby("source", sort=False).size()
+            thr = pd.Series(
+                np.uint64(0xFFFFFFFFFFFFFFFF),
+                index=sizes.index,
+                dtype=np.uint64,
+            )
+            sel = s[(pos == cap - 1).to_numpy()]
+            thr.loc[sel["source"].to_numpy()] = sel["h"].to_numpy(np.uint64)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "kind": np.zeros(len(thr), np.int8),
+                        "source": thr.index.to_numpy(object),
+                        "bucket": np.full(len(thr), -1, np.int64),
+                        "val": thr.to_numpy(np.uint64).view(np.int64),
+                    }
+                )
+            )
+        b = df[df["kind"] == 1]
+        if len(b):
+            hb = b.groupby("bucket", sort=False)["n"].sum()
+            out.append(
+                pd.DataFrame(
+                    {
+                        "kind": np.ones(len(hb), np.int8),
+                        "source": np.full(len(hb), "", dtype=object),
+                        "bucket": hb.index.to_numpy(np.int64),
+                        "val": hb.to_numpy(np.int64),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    # ONE all-to-all for both bounded aggregates (composite key;
+    # coarse buckets — a per-fine-group body over ~4k groups would be
+    # dispatch-bound, see the BENCH crossover table)
+    merged = coarse_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["kind", "source", "bucket"],
+        merge,
+    ).to_pandas()
+    caps = merged[merged["kind"] == 0]
+    thresholds = {
+        s: int(np.int64(v).view(np.uint64))
+        for s, v in zip(caps["source"], caps["val"])
+    }
+    cnt = merged[merged["kind"] == 1]
     hist = np.zeros(1 << _RANK_BUCKET_BITS, dtype=np.int64)
-    hist[counts["bucket"].to_numpy()] = counts["sum(n)"].to_numpy()
+    hist[cnt["bucket"].to_numpy(np.int64)] = cnt["val"].to_numpy(np.int64)
     offsets = np.zeros_like(hist)
     np.cumsum(hist[:-1], out=offsets[1:])
-    return offsets
+    return thresholds, offsets
 
 
 def corpus_sampling(
@@ -159,8 +219,9 @@ def corpus_sampling(
 
     rates = lang_rates_bp or DEFAULT_LANG_RATES_BP
     ds = tbl(sf_dir, "documents", columns=["doc_id", "lang", "source"])
-    thr_ref = ray.put(_cap_thresholds(ds, cap))
-    off_ref = ray.put(_rank_offsets(ds))
+    thresholds, offsets = _cap_thresholds_and_rank_offsets(ds, cap)
+    thr_ref = ray.put(thresholds)
+    off_ref = ray.put(offsets)
     shift = np.uint64(64 - _RANK_BUCKET_BITS)
 
     def decide(batch: pa.Table) -> pa.Table:
