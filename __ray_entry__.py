@@ -57,13 +57,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     repetition_signals fused into one per-doc scan since r3 to make
     room for nb_quality; the standalone ops stay column-identity
     tested in pytest),
-    ngram_jaccard_pairs+simhash_candidates → neardup_candidates
-    (tagged union of both candidate/score sets)."""
+    ngram_jaccard_pairs+simhash_candidates+semdedup →
+    neardup_candidates (tagged union of the candidate/score/decision
+    sets),
+    events_tumbling_window+events_sliding_window → events_windows
+    (tagged union, still oracle-checked),
+    distinct_users_per_event_type+approx_distinct_users → one entry
+    with BOTH the exact and the HLL column (bounded ≤k-row merge),
+    c4_clean+span_dedup_docs+passage_dedup_docs+mixture_weights+
+    bloom_dedup → curation_docs (one wide oracle-checked per-doc row
+    joining all five curation operators on doc_id)."""
     from lexor_ray.ops import (
         classify,
+        curation,
         decontam,
         dedup,
         multimodal,
+        packing,
         pii,
         relational,
         sampling,
@@ -75,7 +85,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     from lexor_ray.ops import streaming_state
 
-    _approx_distinct = sketch.approx_distinct_users
     _first_tool_flags = streaming_state.first_tool_turn_flags
 
     return {
@@ -102,16 +111,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_counts": relational.order_priority_counts,
         "customer_nation_revenue": relational.customer_nation_revenue,
         "part_type_stats": relational.part_type_stats,
-        "events_tumbling_window": relational.events_tumbling_window,
+        "events_windows": relational.events_windows,
         "events_sessionize": relational.events_sessionize,
         "events_asof_join": relational.events_asof_join,
         "events_json_stats": relational.events_json_stats,
         "conversation_documents": relational.conversation_documents,
-        "events_sliding_window": relational.events_sliding_window,
         "top_events_per_user": relational.top_events_per_user,
         "customers_without_orders": relational.customers_without_orders,
-        "distinct_users_per_event_type": relational.distinct_users_per_event_type,
-        "approx_distinct_users": _approx_distinct,
+        "distinct_users_per_event_type": sketch.distinct_users_exact_and_sketch,
         "top_customers_by_balance": relational.top_customers_by_balance,
         "lineitem_distinct_flags": relational.lineitem_distinct_flags,
         # dedup family (minhash_dedup and dedup_clusters gained exact
@@ -140,6 +147,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sampling + per-source caps + global shuffle rank (SQL-checked
         # via the identical splitmix64 arithmetic in DuckDB)
         "corpus_sampling": sampling.corpus_sampling,
+        # the five per-doc curation operators (C4 line clean, C4 span
+        # dedup, ExactSubstr passage dedup, mixture plan, Bloom
+        # incremental dedup) recorded as ONE wide oracle-checked row
+        # per document — each stays first-class with its own tests
+        "curation_docs": curation.curation_docs,
         # text analysis (token/quality/score/filter ops recorded fused)
         "text_quality_stats": textstats.text_quality_stats,
         "gopher_ngram_stats": textstats.gopher_ngram_stats,
@@ -162,9 +174,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal scalar roll-up (SQL-checked)
         "media_byte_totals": multimodal.media_byte_totals,
         # ---- rows-only tail (genuinely non-SQL: seeded hash
-        # families, payload-byte features) ----
+        # families, payload-byte features, greedy bin packing) ----
         "neardup_candidates": dedup.neardup_candidates,
         "media_pipeline": multimodal.media_pipeline,
+        "pack_sequences": packing.pack_sequences,
     }
 
 
@@ -182,6 +195,10 @@ def oracle_sql() -> dict[str, str]:
         pass
     t = _SF001_TRANSCRIPTS
     g = _SF001_GOLDEN
+    from lexor_ray.ops.curation import (
+        curation_docs_oracle_sql as _curation_oracle,
+    )
+
     return {
         # the FLAGSHIP, fully golden-gated: per-turn extracted text,
         # span count and char count vs the generation-time golden
@@ -315,14 +332,33 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(p_retailprice) / count(*), 2) AS avg_price
             FROM part GROUP BY p_type ORDER BY p_type
         """,
-        "events_tumbling_window": """
-            SELECT event_type,
-                   CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start,
-                   round(sum(value), 3) AS value_sum,
-                   CAST(count(*) AS BIGINT) AS n_events
-            FROM events
-            GROUP BY event_type, window_start
-            ORDER BY event_type, window_start
+        "events_windows": """
+            WITH tum AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600
+                           AS window_start,
+                       round(sum(value), 3) AS value_sum,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events
+                GROUP BY event_type, window_start
+            ), sld AS (
+                SELECT event_type, window_start,
+                       round(sum(value), 3) AS value_sum,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM (
+                    SELECT event_type, value,
+                           CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
+                               - s.i * 1800 AS window_start,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS es
+                    FROM events, (SELECT unnest([0, 1]) AS i) s
+                ) w
+                WHERE es >= window_start AND es < window_start + 3600
+                GROUP BY event_type, window_start
+            )
+            SELECT 'tumbling' AS kind, * FROM tum
+            UNION ALL
+            SELECT 'sliding' AS kind, * FROM sld
+            ORDER BY kind, event_type, window_start
         """,
         "events_asof_join": """
             WITH clicks AS (
@@ -350,22 +386,6 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{t}')
             GROUP BY conv_id ORDER BY conv_id
         """,
-        "events_sliding_window": """
-            WITH w AS (
-                SELECT event_type, value,
-                       CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
-                           - s.i * 1800 AS window_start,
-                       CAST(floor(epoch(ts)) AS BIGINT) AS es
-                FROM events, (SELECT unnest([0, 1]) AS i) s
-            )
-            SELECT event_type, window_start,
-                   round(sum(value), 3) AS value_sum,
-                   CAST(count(*) AS BIGINT) AS n_events
-            FROM w
-            WHERE es >= window_start AND es < window_start + 3600
-            GROUP BY event_type, window_start
-            ORDER BY event_type, window_start
-        """,
         "top_events_per_user": """
             WITH ranked AS (
                 SELECT user_id, event_id, ts,
@@ -386,15 +406,14 @@ def oracle_sql() -> dict[str, str]:
             )
             ORDER BY c_custkey
         """,
+        # one entry, BOTH columns: exact distributed COUNT(DISTINCT)
+        # and the HLL sketch. Sound at checked scale: the sketch's
+        # HLL++-style sparse tier is an exact distinct count until
+        # SPARSE_MAX; the register (±1.6%) tier only engages beyond it
+        # (unit-tested separately)
         "distinct_users_per_event_type": """
-            SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-            FROM events GROUP BY event_type ORDER BY event_type
-        """,
-        # sound at checked scale: the sketch's HLL++-style sparse tier
-        # is an exact distinct count until SPARSE_MAX; the register
-        # (±1.6%) tier only engages beyond it (unit-tested separately)
-        "approx_distinct_users": """
             SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS approx_users
             FROM events GROUP BY event_type ORDER BY event_type
         """,
@@ -951,6 +970,10 @@ def oracle_sql() -> dict[str, str]:
                        AS shuffle_rank
             FROM hh ORDER BY doc_id
         """,
+        # The five curation operators fused into one wide per-doc row:
+        # each CTE is the operator's own oracle SQL (kept beside its
+        # op in lexor_ray/ops), joined on doc_id.
+        "curation_docs": _curation_oracle("documents"),
         # Gopher repetition metrics: word n-grams via list_transform,
         # arg-min tie-break (count desc, gram asc) via ordered first();
         # floats computed as floor(chars * 1e4 / L) / 1e4 in the same

@@ -47,7 +47,7 @@ import pandas as pd
 import pyarrow as pa
 
 from .sampling import splitmix64
-from .util import cached, tbl
+from .util import sql_source as _src, cached, tbl
 
 #: splitmix64 gamma (public constant) — stepping the seed by it makes
 #: positions j = 0..k-1 the first k outputs of the splitmix stream.
@@ -159,3 +159,66 @@ def bloom_dedup(sf_dir: str, m: int = 1 << 20, k: int = 4):
         )
 
     return ds.map_batches(score, batch_format="pandas").sort("doc_id")
+
+
+def bloom_dedup_oracle_sql(parquet_path: str, m: int = 1 << 20, k: int = 4) -> str:
+    """DuckDB replay of :func:`bloom_dedup`, exact INCLUDING Bloom
+    false positives: the polynomial codepoint hash, the splitmix64
+    position chain and the prior-snapshot position set are all rebuilt
+    in UHUGEINT mod-2^64 arithmetic (kept beside the op; tests and
+    __ray_entry__ import from here)."""
+    return f"""
+        WITH base AS (
+            SELECT doc_id, coalesce(text, '') AS t
+            FROM {_src(parquet_path)}
+        ), h AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) = 0 THEN 0::UBIGINT
+                        ELSE list_reduce(
+                            list_transform(range(1, len(t) + 1),
+                                i -> CAST(unicode(t[i]) AS UBIGINT)),
+                            (a, b) -> CAST((CAST(a AS UHUGEINT) * 257
+                                            + CAST(b AS UHUGEINT))
+                                           % 18446744073709551616::UHUGEINT
+                                           AS UBIGINT))
+                   END AS h
+            FROM base
+        ), seeds AS (
+            SELECT doc_id, j,
+                   CAST((CAST(h AS UHUGEINT)
+                         + CAST(j AS UHUGEINT)
+                           * 11400714819323198485::UHUGEINT)
+                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS x
+            FROM h CROSS JOIN (SELECT unnest(range({k})) AS j)
+        ), s0 AS (
+            SELECT doc_id, j,
+                   CAST((CAST(x AS UHUGEINT) + 11400714819323198485::UHUGEINT)
+                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
+            FROM seeds
+        ), s1 AS (
+            SELECT doc_id, j,
+                   CAST((CAST(xor(za, za >> 30) AS UHUGEINT)
+                         * 13787848793156543929::UHUGEINT)
+                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
+            FROM s0
+        ), s2 AS (
+            SELECT doc_id, j,
+                   CAST((CAST(xor(za, za >> 27) AS UHUGEINT)
+                         * 10723151780598845931::UHUGEINT)
+                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
+            FROM s1
+        ), pos AS (
+            SELECT doc_id, j, xor(za, za >> 31) % {m} AS pos FROM s2
+        ), apos AS (
+            SELECT DISTINCT pos FROM pos WHERE doc_id % 2 = 0
+        ), hits AS (
+            SELECT p.doc_id,
+                   CAST(sum(CASE WHEN a.pos IS NULL THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_hit_bits
+            FROM pos p LEFT JOIN apos a USING (pos)
+            WHERE p.doc_id % 2 = 1
+            GROUP BY p.doc_id
+        )
+        SELECT doc_id, n_hit_bits, n_hit_bits = {k} AS maybe_dup
+        FROM hits ORDER BY doc_id
+    """

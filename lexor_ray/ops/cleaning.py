@@ -33,7 +33,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .util import tbl
+from .util import sql_source as _src, tbl
 
 #: marker phrases whose presence (case-insensitive substring) drops a
 #: line — the C4 "javascript" rule plus the usual web boilerplate.
@@ -126,7 +126,7 @@ def c4_clean_oracle_sql(parquet_path: str, min_words: int = 3) -> str:
     return f"""
         WITH p AS (
             SELECT doc_id, string_split(text, chr(10)) AS parts
-            FROM read_parquet('{parquet_path}')
+            FROM {_src(parquet_path)}
         ), u AS (
             -- two unnests in one SELECT zip element-wise in DuckDB
             SELECT doc_id, unnest(parts) AS rawline,
@@ -470,3 +470,113 @@ def span_dedup_docs(sf_dir: str, span_sents: int = 3, delim: str = ". "):
         )
 
     return coarse_apply(decided, ["doc_id"], rebuild).sort("doc_id")
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL — kept beside the ops (same convention as
+# c4_clean_oracle_sql) so rule changes are one review away from their
+# oracle; tests and __ray_entry__ both import from here.
+# --------------------------------------------------------------------------
+
+
+def span_dedup_oracle_sql(
+    parquet_path: str, span_sents: int = 3, delim: str = ". "
+) -> str:
+    """DuckDB replay of :func:`span_dedup` (window-function
+    first-occurrence over delim-split sentence spans)."""
+    return f"""
+        WITH p AS (
+            SELECT doc_id, string_split(text, '{delim}') AS parts
+            FROM {_src(parquet_path)}
+        ), u AS (
+            SELECT doc_id, unnest(parts) AS sent,
+                   unnest(range(0, len(parts))) AS sidx
+            FROM p
+        ), s AS (
+            SELECT doc_id, CAST(sidx // {span_sents} AS BIGINT) AS span_idx,
+                   string_agg(sent, '{delim}' ORDER BY sidx) AS span
+            FROM u GROUP BY doc_id, sidx // {span_sents}
+        )
+        SELECT doc_id, span_idx, span,
+               row_number() OVER (PARTITION BY span
+                                  ORDER BY doc_id, span_idx) = 1 AS kept
+        FROM s ORDER BY doc_id, span_idx
+    """
+
+
+def span_dedup_docs_oracle_sql(
+    parquet_path: str, span_sents: int = 3, delim: str = ". "
+) -> str:
+    """DuckDB replay of :func:`span_dedup_docs` (kept spans rejoined)."""
+    return f"""
+        WITH s AS ({span_dedup_oracle_sql(parquet_path, span_sents, delim)})
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN kept THEN span END,
+                                   '{delim}' ORDER BY span_idx), '') AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept_spans
+        FROM s GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+def dup_passages_oracle_sql(parquet_path: str, k: int = 50) -> str:
+    """DuckDB replay of :func:`dup_passages` (exact-string tier)."""
+    return f"""
+        WITH t AS (
+            SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+            FROM {_src(parquet_path)}
+        ), u AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, greatest(len(toks) - {k} + 1, 0))) AS i
+            FROM t
+        ), w AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS tok_start,
+                   array_to_string(list_slice(toks, i + 1, i + {k}), ' ')
+                       AS "window"
+            FROM u
+        )
+        SELECT doc_id, tok_start, "window",
+               row_number() OVER (PARTITION BY "window"
+                                  ORDER BY doc_id, tok_start) = 1 AS kept
+        FROM w
+        QUALIFY count(*) OVER (PARTITION BY "window") > 1
+        ORDER BY doc_id, tok_start
+    """
+
+
+def passage_dedup_docs_oracle_sql(parquet_path: str, k: int = 50) -> str:
+    """DuckDB replay of :func:`passage_dedup_docs` (interval coverage
+    of non-first duplicated windows, survivors rejoined)."""
+    return f"""
+        WITH t AS (
+            SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+            FROM {_src(parquet_path)}
+        ), d AS ({dup_passages_oracle_sql(parquet_path, k)}),
+        rem AS (SELECT doc_id, tok_start FROM d WHERE NOT kept),
+        tok AS (
+            SELECT doc_id, unnest(toks) AS tok,
+                   unnest(range(0, len(toks))) AS i
+            FROM t
+        ), cov AS (
+            SELECT x.doc_id, x.i, x.tok,
+                   EXISTS (SELECT 1 FROM rem r
+                           WHERE r.doc_id = x.doc_id
+                             AND x.i BETWEEN r.tok_start
+                                         AND r.tok_start + {k} - 1)
+                       AS removed
+            FROM tok x
+        ), agg AS (
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN NOT removed THEN tok END,
+                                       ' ' ORDER BY i), '') AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_removed_tokens
+            FROM cov GROUP BY doc_id
+        )
+        SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+               coalesce(a.n_tokens, 0) AS n_tokens,
+               coalesce(a.n_removed_tokens, 0) AS n_removed_tokens
+        FROM t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
+    """

@@ -1441,15 +1441,18 @@ def embedding_neardup(
 
 
 def neardup_candidates(sf_dir: str):
-    """Rows-only recording fusion of :func:`ngram_jaccard_pairs` and
-    :func:`simhash_candidates` (both stay first-class ops with their
-    own tests; the driver's 50-entry window forces merged RECORDING):
-    one tagged union ``(algo, a, b, score)`` where score is the pair's
-    exact n-gram Jaccard or its SimHash Hamming distance. Genuinely
-    non-SQL (seeded hash families drive both candidate sets); the
+    """Rows-only recording fusion of :func:`ngram_jaccard_pairs`,
+    :func:`simhash_candidates` and :func:`similarity.semdedup` (all
+    stay first-class ops with their own tests; the driver's 50-entry
+    window forces merged RECORDING): one tagged union
+    ``(algo, a, b, score)`` — the pair's exact n-gram Jaccard, its
+    SimHash Hamming distance, or SemDeDup's per-vector
+    ``(vec_id, cluster, kept)`` decision. Genuinely non-SQL (seeded
+    hash families / iterative k-means drive the candidate sets); the
     exact-set verify arithmetic is separately SQL-gated via
-    ``shingle_overlap_pairs`` and the tiers are asserted row-identical
-    in tests."""
+    ``shingle_overlap_pairs``, the tiers are asserted row-identical in
+    tests, and semdedup is checked against a numpy reference plus
+    planted duplicates."""
     import ray.data
 
     nj = ngram_jaccard_pairs(sf_dir)
@@ -1479,11 +1482,29 @@ def neardup_candidates(sf_dir: str):
             }
         )
 
+    # SemDeDup rides the same union (third tagged set): a = vec_id,
+    # b = its cluster, score = kept flag — per-vector decisions, so the
+    # recorded row set certifies the full clustering + pruning path
+    from .similarity import semdedup
+
+    sd = semdedup(sf_dir)
+
+    def tag_semdedup(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "algo": pa.array(["semdedup"] * batch.num_rows, type=pa.string()),
+                "a": batch.column("vec_id").cast(pa.int64()),
+                "b": batch.column("cluster").cast(pa.int64()),
+                "score": batch.column("kept").cast(pa.float64()),
+            }
+        )
+
     # the identity-format maps also normalize block formats so the
     # post-union sort sampler sees homogeneous arrow blocks
     # (CLAUDE.md union gotcha)
     return (
         nj.map_batches(tag_jaccard, batch_format="pyarrow")
         .union(sh.map_batches(tag_simhash, batch_format="pyarrow"))
+        .union(sd.map_batches(tag_semdedup, batch_format="pyarrow"))
         .sort(["algo", "a", "b"])
     )

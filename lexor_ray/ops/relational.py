@@ -405,6 +405,41 @@ def events_sliding_window(sf_dir: str, size_s: int = 3600, step_s: int = 1800):
     ).sort(["event_type", "window_start"])
 
 
+def events_windows(sf_dir: str):
+    """Recording fusion of :func:`events_tumbling_window` and
+    :func:`events_sliding_window` (both stay first-class with their
+    own tests; the driver's 50-entry window forces merged recording):
+    one tagged union ``(kind, event_type, window_start, value_sum,
+    n_events)``. Each branch is the public op verbatim; the tag map is
+    an identity-format pass that also normalizes block formats before
+    the union (CLAUDE.md sort-sampler rule)."""
+
+    def tag(kind: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "kind": pa.array([kind] * b.num_rows, type=pa.string()),
+                    "event_type": b["event_type"],
+                    "window_start": b["window_start"],
+                    "value_sum": b["value_sum"],
+                    "n_events": b["n_events"],
+                }
+            )
+
+        return f
+
+    return (
+        events_tumbling_window(sf_dir)
+        .map_batches(tag("tumbling"), batch_format="pyarrow")
+        .union(
+            events_sliding_window(sf_dir).map_batches(
+                tag("sliding"), batch_format="pyarrow"
+            )
+        )
+        .sort(["kind", "event_type", "window_start"])
+    )
+
+
 def top_events_per_user(sf_dir: str, k: int = 3):
     """Per-group top-k (window-function shape): the k most recent
     events per user — coarse hash-bucket shuffle + ONE vectorized

@@ -38,7 +38,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .util import coarse_apply, tbl
+from .util import sql_source as _src, coarse_apply, tbl
 
 #: salt for the second (sampling) hash — xor-ed into doc_id before
 #: splitmix64 so the sampling decision is independent of the split
@@ -327,3 +327,50 @@ def materialize_epochs(sf_dir: str, source_epochs: dict[str, float] | None = Non
         )
 
     return plan.map_batches(expand, batch_format="pyarrow")
+
+
+def mixture_weights_oracle_sql(
+    parquet_path: str, source_epochs: dict[str, float] | None = None
+) -> str:
+    """DuckDB replay of :func:`mixture_weights`: the salted splitmix64
+    finalizer in UHUGEINT mod-2^64 arithmetic (the chain the
+    driver-checked corpus_sampling oracle proved bit-exact), then the
+    floor + basis-point Bernoulli epoch rule."""
+    epochs = source_epochs or DEFAULT_SOURCE_EPOCHS
+    whole_cases = " ".join(
+        f"WHEN '{s}' THEN {int(np.floor(e))}" for s, e in epochs.items()
+    )
+    frac_cases = " ".join(
+        f"WHEN '{s}' THEN {int(round((e - np.floor(e)) * 10000))}"
+        for s, e in epochs.items()
+    )
+    salt = int(MIX_SALT)
+    return f"""
+        WITH s0 AS (
+            SELECT doc_id, source,
+                   CAST((CAST(xor(doc_id, {salt}) AS UHUGEINT)
+                         + 11400714819323198485::UHUGEINT)
+                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS z
+            FROM {_src(parquet_path)}
+        ), s1 AS (
+            SELECT doc_id, source,
+                   CAST((CAST(xor(z, z >> 30) AS UHUGEINT)
+                         * 13787848793156543929::UHUGEINT)
+                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS z
+            FROM s0
+        ), s2 AS (
+            SELECT doc_id, source,
+                   CAST((CAST(xor(z, z >> 27) AS UHUGEINT)
+                         * 10723151780598845931::UHUGEINT)
+                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS z
+            FROM s1
+        ), hh AS (
+            SELECT doc_id, source, xor(z, z >> 31) AS h FROM s2
+        )
+        SELECT doc_id, source,
+               CAST(CASE source {whole_cases} ELSE 1 END
+                    + CASE WHEN (h % 10000) <
+                           CASE source {frac_cases} ELSE 0 END
+                           THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+        FROM hh ORDER BY doc_id
+    """

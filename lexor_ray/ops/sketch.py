@@ -131,3 +131,20 @@ def approx_distinct_users(sf_dir: str):
         sketches.groupby("event_type").map_groups(merge, batch_format="pandas")
         .sort("event_type")
     )
+
+
+def distinct_users_exact_and_sketch(sf_dir: str):
+    """Recording fusion of the exact COUNT(DISTINCT) and the HLL
+    sketch per event_type (both stay first-class ops; the driver's
+    50-entry window forces merged recording): ``(event_type, n_users,
+    approx_users)``. Both branches produce ≤|event_type| rows, so the
+    driver-side merge is a bounded two-tiny-table pandas join — the
+    documented measured-small collection shape, not a data-sized
+    materialization."""
+    from .relational import distinct_users_per_event_type
+
+    exact = distinct_users_per_event_type(sf_dir).to_pandas()
+    approx = approx_distinct_users(sf_dir).to_pandas()
+    return exact.merge(approx, on="event_type").sort_values(
+        "event_type", ignore_index=True
+    )

@@ -248,3 +248,13 @@ def partial_group_agg(keys: list[str], aggs: list[tuple[str, str]]):
         return batch.group_by(keys).aggregate(aggs)
 
     return _agg
+
+
+def sql_source(table_or_path: str) -> str:
+    """A DuckDB FROM-clause source: a parquet path is wrapped in
+    ``read_parquet(...)``; anything else is used verbatim as a
+    table/view name (the driver pre-registers the testdata tables as
+    views, while pytest oracles point at tmp parquet files)."""
+    if table_or_path.endswith(".parquet") or "/" in table_or_path:
+        return f"read_parquet('{table_or_path}')"
+    return table_or_path

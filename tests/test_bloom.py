@@ -13,67 +13,12 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from lexor_ray.ops.bloom import bloom_dedup
+from lexor_ray.ops.bloom import bloom_dedup, bloom_dedup_oracle_sql
+
+# the oracle SQL lives beside the op (lexor_ray/ops/bloom.py)
+_bloom_sql = bloom_dedup_oracle_sql
 
 SF = "/root/testdata/sf0.001"
-
-
-def _bloom_sql(parquet: str, m: int, k: int) -> str:
-    return f"""
-        WITH base AS (
-            SELECT doc_id, coalesce(text, '') AS t
-            FROM read_parquet('{parquet}')
-        ), h AS (
-            SELECT doc_id,
-                   CASE WHEN len(t) = 0 THEN 0::UBIGINT
-                        ELSE list_reduce(
-                            list_transform(range(1, len(t) + 1),
-                                i -> CAST(unicode(t[i]) AS UBIGINT)),
-                            (a, b) -> CAST((CAST(a AS UHUGEINT) * 257
-                                            + CAST(b AS UHUGEINT))
-                                           % 18446744073709551616::UHUGEINT
-                                           AS UBIGINT))
-                   END AS h
-            FROM base
-        ), seeds AS (
-            SELECT doc_id, j,
-                   CAST((CAST(h AS UHUGEINT)
-                         + CAST(j AS UHUGEINT)
-                           * 11400714819323198485::UHUGEINT)
-                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS x
-            FROM h CROSS JOIN (SELECT unnest(range({k})) AS j)
-        ), s0 AS (
-            SELECT doc_id, j,
-                   CAST((CAST(x AS UHUGEINT) + 11400714819323198485::UHUGEINT)
-                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
-            FROM seeds
-        ), s1 AS (
-            SELECT doc_id, j,
-                   CAST((CAST(xor(za, za >> 30) AS UHUGEINT)
-                         * 13787848793156543929::UHUGEINT)
-                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
-            FROM s0
-        ), s2 AS (
-            SELECT doc_id, j,
-                   CAST((CAST(xor(za, za >> 27) AS UHUGEINT)
-                         * 10723151780598845931::UHUGEINT)
-                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
-            FROM s1
-        ), pos AS (
-            SELECT doc_id, j, xor(za, za >> 31) % {m} AS pos FROM s2
-        ), apos AS (
-            SELECT DISTINCT pos FROM pos WHERE doc_id % 2 = 0
-        ), hits AS (
-            SELECT p.doc_id,
-                   CAST(sum(CASE WHEN a.pos IS NULL THEN 0 ELSE 1 END)
-                        AS BIGINT) AS n_hit_bits
-            FROM pos p LEFT JOIN apos a USING (pos)
-            WHERE p.doc_id % 2 = 1
-            GROUP BY p.doc_id
-        )
-        SELECT doc_id, n_hit_bits, n_hit_bits = {k} AS maybe_dup
-        FROM hits ORDER BY doc_id
-    """
 
 
 @pytest.fixture(scope="module")

@@ -5,53 +5,21 @@ import numpy as np
 import pandas as pd
 
 from lexor_ray.ops.sampling import (
-    MIX_SALT,
     materialize_epochs,
     mixture_weights,
-    splitmix64,
+    mixture_weights_oracle_sql,
 )
 
 SF = "/root/testdata/sf0.001"
 
 
 def _oracle(parquet: str) -> pd.DataFrame:
-    """Independent arithmetic: the splitmix64 finalizer replayed in
-    DuckDB UHUGEINT mod-2^64 (same chain the driver-checked
-    corpus_sampling oracle proved bit-exact), then the epoch rule."""
-    salt = int(MIX_SALT)
-    sql = f"""
-        WITH s0 AS (
-            SELECT doc_id, source,
-                   CAST((CAST(xor(doc_id, {salt}) AS UHUGEINT)
-                         + 11400714819323198485::UHUGEINT)
-                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS z
-            FROM read_parquet('{parquet}')
-        ), s1 AS (
-            SELECT doc_id, source,
-                   CAST((CAST(xor(z, z >> 30) AS UHUGEINT)
-                         * 13787848793156543929::UHUGEINT)
-                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS z
-            FROM s0
-        ), s2 AS (
-            SELECT doc_id, source,
-                   CAST((CAST(xor(z, z >> 27) AS UHUGEINT)
-                         * 10723151780598845931::UHUGEINT)
-                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS z
-            FROM s1
-        ), hh AS (
-            SELECT doc_id, source, xor(z, z >> 31) AS h FROM s2
-        )
-        SELECT doc_id, source,
-               CAST(CASE source WHEN 'src0' THEN 2
-                                WHEN 'src1' THEN 1 ELSE 1 END
-                    + CASE WHEN (h % 10000) <
-                           CASE source WHEN 'src0' THEN 5000
-                                       WHEN 'src1' THEN 5000 ELSE 0 END
-                           THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
-        FROM hh ORDER BY doc_id
-    """
+    """The op's own DuckDB replay (lexor_ray/ops/sampling.py): the
+    splitmix64 finalizer in UHUGEINT mod-2^64 (same chain the
+    driver-checked corpus_sampling oracle proved bit-exact), then the
+    epoch rule."""
     con = duckdb.connect()
-    return con.sql(sql).df()
+    return con.sql(mixture_weights_oracle_sql(parquet)).df()
 
 
 def test_mixture_weights_matches_duckdb(ray_session):

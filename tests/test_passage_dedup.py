@@ -13,7 +13,12 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from lexor_ray.ops.cleaning import dup_passages, passage_dedup_docs
+from lexor_ray.ops.cleaning import (
+    dup_passages,
+    dup_passages_oracle_sql,
+    passage_dedup_docs,
+    passage_dedup_docs_oracle_sql,
+)
 
 SF = "/root/testdata/sf0.001"
 K = 5
@@ -52,63 +57,9 @@ def passage_corpus(tmp_path_factory):
     return str(d)
 
 
-def _wins_sql(parquet: str, k: int) -> str:
-    return f"""
-        WITH t AS (
-            SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
-            FROM read_parquet('{parquet}')
-        ), u AS (
-            SELECT doc_id, toks,
-                   unnest(range(0, greatest(len(toks) - {k} + 1, 0))) AS i
-            FROM t
-        ), w AS (
-            SELECT doc_id, CAST(i AS BIGINT) AS tok_start,
-                   array_to_string(list_slice(toks, i + 1, i + {k}), ' ')
-                       AS "window"
-            FROM u
-        )
-        SELECT doc_id, tok_start, "window",
-               row_number() OVER (PARTITION BY "window"
-                                  ORDER BY doc_id, tok_start) = 1 AS kept
-        FROM w
-        QUALIFY count(*) OVER (PARTITION BY "window") > 1
-        ORDER BY doc_id, tok_start
-    """
-
-
-def _docs_sql(parquet: str, k: int) -> str:
-    return f"""
-        WITH t AS (
-            SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
-            FROM read_parquet('{parquet}')
-        ), d AS ({_wins_sql(parquet, k)}),
-        rem AS (SELECT doc_id, tok_start FROM d WHERE NOT kept),
-        tok AS (
-            SELECT doc_id, unnest(toks) AS tok,
-                   unnest(range(0, len(toks))) AS i
-            FROM t
-        ), cov AS (
-            SELECT x.doc_id, x.i, x.tok,
-                   EXISTS (SELECT 1 FROM rem r
-                           WHERE r.doc_id = x.doc_id
-                             AND x.i BETWEEN r.tok_start
-                                         AND r.tok_start + {k} - 1)
-                       AS removed
-            FROM tok x
-        ), agg AS (
-            SELECT doc_id,
-                   coalesce(string_agg(CASE WHEN NOT removed THEN tok END,
-                                       ' ' ORDER BY i), '') AS clean_text,
-                   CAST(count(*) AS BIGINT) AS n_tokens,
-                   CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
-                       AS n_removed_tokens
-            FROM cov GROUP BY doc_id
-        )
-        SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
-               coalesce(a.n_tokens, 0) AS n_tokens,
-               coalesce(a.n_removed_tokens, 0) AS n_removed_tokens
-        FROM t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
-    """
+# the oracle SQL lives beside the op (lexor_ray/ops/cleaning.py)
+_wins_sql = dup_passages_oracle_sql
+_docs_sql = passage_dedup_docs_oracle_sql
 
 
 def test_dup_passages_matches_duckdb(ray_session, passage_corpus):

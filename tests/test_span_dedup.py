@@ -7,7 +7,12 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from lexor_ray.ops.cleaning import span_dedup, span_dedup_docs
+from lexor_ray.ops.cleaning import (
+    span_dedup,
+    span_dedup_docs,
+    span_dedup_docs_oracle_sql,
+    span_dedup_oracle_sql,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -33,38 +38,10 @@ def spanful_corpus(tmp_path_factory):
     return str(d)
 
 
-def _span_sql(parquet: str) -> str:
-    return f"""
-        WITH p AS (
-            SELECT doc_id, string_split(text, '. ') AS parts
-            FROM read_parquet('{parquet}')
-        ), u AS (
-            SELECT doc_id, unnest(parts) AS sent,
-                   unnest(range(0, len(parts))) AS sidx
-            FROM p
-        ), s AS (
-            SELECT doc_id, CAST(sidx // 3 AS BIGINT) AS span_idx,
-                   string_agg(sent, '. ' ORDER BY sidx) AS span
-            FROM u GROUP BY doc_id, sidx // 3
-        )
-        SELECT doc_id, span_idx, span,
-               row_number() OVER (PARTITION BY span
-                                  ORDER BY doc_id, span_idx) = 1 AS kept
-        FROM s ORDER BY doc_id, span_idx
-    """
-
-
-def _docs_sql(parquet: str) -> str:
-    return f"""
-        WITH s AS ({_span_sql(parquet)})
-        SELECT doc_id,
-               coalesce(string_agg(CASE WHEN kept THEN span END,
-                                   '. ' ORDER BY span_idx), '') AS clean_text,
-               CAST(count(*) AS BIGINT) AS n_spans,
-               CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_kept_spans
-        FROM s GROUP BY doc_id ORDER BY doc_id
-    """
+# the oracle SQL lives beside the op (lexor_ray/ops/cleaning.py) so
+# rule changes are one review away from their oracle
+_span_sql = span_dedup_oracle_sql
+_docs_sql = span_dedup_docs_oracle_sql
 
 
 def test_span_dedup_matches_duckdb(ray_session, spanful_corpus):
