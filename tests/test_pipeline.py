@@ -409,3 +409,38 @@ def test_run_extraction_concurrent_chunks(ray_session, small_dir, tmp_path):
     s3 = run_extraction(small_dir, con_dir, files_per_chunk=1, max_in_flight=4)
     assert s3["chunks_skipped"] == s3["chunks_total"] - 1
     assert s3["rows"] == s1["rows"]
+
+
+def test_submit_entrypoint_subprocess(small_dir, tmp_path):
+    """The `ray job submit` entrypoint (tools/submit_extraction.py) in
+    a fresh process: clean run, then a resume run after deleting one
+    chunk's manifest + data — exactly that chunk is redone."""
+    import json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "job_out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [
+        sys.executable,
+        os.path.join(repo, "tools", "submit_extraction.py"),
+        "--input", small_dir,
+        "--output", out,
+        "--files-per-chunk", "2",
+    ]
+    env = dict(os.environ, RAY_ADDRESS="local")
+    r1 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=300)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    s1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert s1["chunks_skipped"] == 0 and s1["rows_this_run"] == s1["rows_total"] > 0
+
+    parts = sorted(os.listdir(os.path.join(out, "manifest")))
+    victim = parts[0]
+    os.remove(os.path.join(out, "manifest", victim))
+    shutil.rmtree(os.path.join(out, "data", victim[: -len(".json")]))
+    r2 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s2["chunks_skipped"] == s2["chunks_total"] - 1
+    assert 0 < s2["rows_this_run"] < s1["rows_total"]
+    assert s2["rows_total"] == s1["rows_total"]
