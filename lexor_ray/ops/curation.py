@@ -22,7 +22,6 @@ maybe_dup=false)`` — mirrored by ``coalesce`` in the SQL oracle.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 

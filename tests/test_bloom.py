@@ -7,7 +7,6 @@ positives (exercised with a deliberately tiny filter).
 """
 
 import duckdb
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
