@@ -55,7 +55,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     output + SQL; the plain variant stays tested in pytest),
     lang_distribution ⊂ lang_id ⊂ doc_signals (lang_id +
     repetition_signals fused into one per-doc scan since r3 to make
-    room for nb_quality; the standalone ops stay column-identity
+    room for the model-based entries; nb_quality_scores+lm_perplexity
+    → model_quality (one shuffle-free scoring scan, both train+score
+    chains SQL-replayed); the standalone ops stay column-identity
     tested in pytest),
     ngram_jaccard_pairs+simhash_candidates+semdedup →
     neardup_candidates (tagged union of the candidate/score/decision
@@ -68,10 +70,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     bloom_dedup → curation_docs (one wide oracle-checked per-doc row
     joining all five curation operators on doc_id)."""
     from lexor_ray.ops import (
-        classify,
         curation,
         decontam,
         dedup,
+        lm,
         multimodal,
         packing,
         pii,
@@ -166,11 +168,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # checked column); the standalone ops stay identity-tested
         "doc_signals": textstats.doc_signals,
         "doc_length_quantiles": textstats.doc_length_quantiles,
-        # CCNet/DCLM-style model-based quality classifier: Naive Bayes
-        # distilled from the rule filter over the splitmix64 train
-        # split, integer micro-nat scores → the full train+score chain
-        # replays exactly in DuckDB
-        "nb_quality": classify.nb_quality_scores,
+        # CCNet/DCLM-style model-based quality, fused recording row
+        # (driver window is 50): the Naive Bayes classifier distilled
+        # from the rule filter AND the stupid-backoff bigram-LM
+        # perplexity (ops/lm.py, the KenLM stand-in), both trained on
+        # the splitmix64 train split and scored in ONE shuffle-free
+        # scan; integer micro-nat scores → both full train+score
+        # chains replay exactly in DuckDB. Standalone ops
+        # (nb_quality_scores, lm_perplexity) stay first-class with
+        # their own oracle tests (tests/test_classify.py, test_lm.py).
+        "model_quality": lm.model_quality,
         # multimodal scalar roll-up (SQL-checked)
         "media_byte_totals": multimodal.media_byte_totals,
         # ---- rows-only tail (genuinely non-SQL: seeded hash
@@ -197,6 +204,9 @@ def oracle_sql() -> dict[str, str]:
     g = _SF001_GOLDEN
     from lexor_ray.ops.curation import (
         curation_docs_oracle_sql as _curation_oracle,
+    )
+    from lexor_ray.ops.lm import (
+        model_quality_oracle_sql as _model_quality_oracle,
     )
 
     return {
@@ -793,102 +803,7 @@ def oracle_sql() -> dict[str, str]:
         # teacher rule labels, word counts, floor(ln·1e6) fixed-point
         # log-probs) and rescores every document; integer micro-nat
         # scores make the comparison exact.
-        "nb_quality": r"""
-            WITH base AS (
-                SELECT doc_id, coalesce(text, '') AS text FROM documents
-            ), s0 AS (
-                SELECT doc_id,
-                       CAST((CAST(doc_id AS UHUGEINT)
-                             + 11400714819323198485::UHUGEINT)
-                            % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
-                FROM base
-            ), s1 AS (
-                SELECT doc_id,
-                       CAST((CAST(xor(za, za >> 30) AS UHUGEINT)
-                             * 13787848793156543929::UHUGEINT)
-                            % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
-                FROM s0
-            ), s2 AS (
-                SELECT doc_id,
-                       CAST((CAST(xor(za, za >> 27) AS UHUGEINT)
-                             * 10723151780598845931::UHUGEINT)
-                            % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
-                FROM s1
-            ), hh AS (
-                SELECT doc_id, xor(za, za >> 31) % 1000 < 900 AS is_train
-                FROM s2
-            ), lab AS (
-                SELECT b.doc_id, h.is_train,
-                       len(regexp_extract_all(b.text, '\S+')) AS n_tokens,
-                       (len(regexp_extract_all(b.text, '\S+')) >= 20
-                        AND length(regexp_replace(b.text,
-                                '[^!-/:-@\[-`{-~]', '', 'g')) * 100
-                            <= length(b.text) * 5) AS label
-                FROM base b JOIN hh h USING (doc_id)
-            ), trainw AS (
-                SELECT l.doc_id, l.label,
-                       unnest(regexp_extract_all(b.text, '\S+')) AS word
-                FROM base b JOIN lab l USING (doc_id)
-                WHERE l.is_train
-            ), wc AS (
-                SELECT word,
-                       CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
-                           AS cp,
-                       CAST(sum(CASE WHEN NOT label THEN 1 ELSE 0 END)
-                            AS BIGINT) AS cf
-                FROM trainw GROUP BY word
-            ), const AS (
-                SELECT (SELECT count(DISTINCT word) FROM trainw) AS v,
-                       (SELECT count(*) FROM trainw WHERE label) AS t_pass,
-                       (SELECT count(*) FROM trainw WHERE NOT label) AS t_fail,
-                       (SELECT count(*) FROM lab WHERE is_train AND label)
-                           AS d_pass,
-                       (SELECT count(*) FROM lab WHERE is_train AND NOT label)
-                           AS d_fail
-            ), km AS (
-                SELECT CAST(floor(ln(1 / (t_pass + v)) * 1e6) AS BIGINT)
-                           AS oov_pass,
-                       CAST(floor(ln(1 / (t_fail + v)) * 1e6) AS BIGINT)
-                           AS oov_fail,
-                       CAST(floor(ln((d_pass + 1) / (d_pass + d_fail + 2))
-                                  * 1e6) AS BIGINT) AS prior_pass,
-                       CAST(floor(ln((d_fail + 1) / (d_pass + d_fail + 2))
-                                  * 1e6) AS BIGINT) AS prior_fail
-                FROM const
-            ), model AS (
-                SELECT word,
-                       CAST(floor(ln((cp + 1) / (t_pass + v)) * 1e6) AS BIGINT)
-                           AS lp_pass,
-                       CAST(floor(ln((cf + 1) / (t_fail + v)) * 1e6) AS BIGINT)
-                           AS lp_fail
-                FROM wc, const
-            ), tok AS (
-                SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
-                FROM base
-            ), contrib AS (
-                SELECT t.doc_id,
-                       coalesce(m.lp_pass, k.oov_pass) AS lp_pass,
-                       coalesce(m.lp_fail, k.oov_fail) AS lp_fail,
-                       CASE WHEN m.word IS NULL THEN 1 ELSE 0 END AS is_oov
-                FROM tok t LEFT JOIN model m ON t.word = m.word
-                CROSS JOIN km k
-            ), per_doc AS (
-                SELECT doc_id,
-                       CAST(sum(lp_pass) AS BIGINT) AS sp,
-                       CAST(sum(lp_fail) AS BIGINT) AS sf,
-                       CAST(sum(is_oov) AS BIGINT) AS n_oov
-                FROM contrib GROUP BY doc_id
-            )
-            SELECT l.doc_id, l.is_train, l.label,
-                   CAST(l.n_tokens AS BIGINT) AS n_tokens,
-                   coalesce(p.n_oov, 0) AS n_oov,
-                   k.prior_pass + coalesce(p.sp, 0) AS score_pass,
-                   k.prior_fail + coalesce(p.sf, 0) AS score_fail,
-                   k.prior_pass + coalesce(p.sp, 0)
-                       >= k.prior_fail + coalesce(p.sf, 0) AS pred
-            FROM lab l LEFT JOIN per_doc p USING (doc_id) CROSS JOIN km k
-            ORDER BY l.doc_id
-        """,
+        "model_quality": _model_quality_oracle("documents"),
         # discrete quantiles; rank convention floor((n-1)*q) matches
         # quantile_disc exactly
         "doc_length_quantiles": """

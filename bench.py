@@ -130,10 +130,13 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     )
     timed("pack_sequences", lambda: packing.pack_sequences(sf_dir).to_pandas())
 
-    from lexor_ray.ops import classify
+    from lexor_ray.ops import classify, lm
 
     timed(
         "nb_quality", lambda: classify.nb_quality_scores(sf_dir).to_pandas()
+    )
+    timed(
+        "lm_perplexity", lambda: lm.lm_perplexity(sf_dir).to_pandas()
     )
     timed("corpus_sampling", lambda: sampling.corpus_sampling(sf_dir).to_pandas())
 

@@ -13,107 +13,9 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from lexor_ray.ops.classify import nb_quality_scores
+from lexor_ray.ops.classify import nb_quality_oracle_sql as _nb_sql, nb_quality_scores
 
 SF = "/root/testdata/sf0.001"
-
-
-def _nb_sql(parquet: str, min_words: int = 20, max_punct_pct: int = 5) -> str:
-    return f"""
-        WITH base AS (
-            SELECT doc_id, coalesce(text, '') AS text
-            FROM read_parquet('{parquet}')
-        ), s0 AS (
-            SELECT doc_id,
-                   CAST((CAST(doc_id AS UHUGEINT)
-                         + 11400714819323198485::UHUGEINT)
-                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
-            FROM base
-        ), s1 AS (
-            SELECT doc_id,
-                   CAST((CAST(xor(za, za >> 30) AS UHUGEINT)
-                         * 13787848793156543929::UHUGEINT)
-                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
-            FROM s0
-        ), s2 AS (
-            SELECT doc_id,
-                   CAST((CAST(xor(za, za >> 27) AS UHUGEINT)
-                         * 10723151780598845931::UHUGEINT)
-                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
-            FROM s1
-        ), hh AS (
-            SELECT doc_id, xor(za, za >> 31) % 1000 < 900 AS is_train
-            FROM s2
-        ), lab AS (
-            SELECT b.doc_id, h.is_train,
-                   len(regexp_extract_all(b.text, '\\S+')) AS n_tokens,
-                   (len(regexp_extract_all(b.text, '\\S+')) >= {min_words}
-                    AND length(regexp_replace(b.text,
-                            '[^!-/:-@\\[-`{{-~]', '', 'g')) * 100
-                        <= length(b.text) * {max_punct_pct}) AS label
-            FROM base b JOIN hh h USING (doc_id)
-        ), trainw AS (
-            SELECT l.doc_id, l.label,
-                   unnest(regexp_extract_all(b.text, '\\S+')) AS word
-            FROM base b JOIN lab l USING (doc_id)
-            WHERE l.is_train
-        ), wc AS (
-            SELECT word,
-                   CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS cp,
-                   CAST(sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS BIGINT)
-                       AS cf
-            FROM trainw GROUP BY word
-        ), const AS (
-            SELECT (SELECT count(DISTINCT word) FROM trainw) AS v,
-                   (SELECT count(*) FROM trainw WHERE label) AS t_pass,
-                   (SELECT count(*) FROM trainw WHERE NOT label) AS t_fail,
-                   (SELECT count(*) FROM lab WHERE is_train AND label)
-                       AS d_pass,
-                   (SELECT count(*) FROM lab WHERE is_train AND NOT label)
-                       AS d_fail
-        ), km AS (
-            SELECT CAST(floor(ln(1 / (t_pass + v)) * 1e6) AS BIGINT)
-                       AS oov_pass,
-                   CAST(floor(ln(1 / (t_fail + v)) * 1e6) AS BIGINT)
-                       AS oov_fail,
-                   CAST(floor(ln((d_pass + 1) / (d_pass + d_fail + 2)) * 1e6)
-                        AS BIGINT) AS prior_pass,
-                   CAST(floor(ln((d_fail + 1) / (d_pass + d_fail + 2)) * 1e6)
-                        AS BIGINT) AS prior_fail
-            FROM const
-        ), model AS (
-            SELECT word,
-                   CAST(floor(ln((cp + 1) / (t_pass + v)) * 1e6) AS BIGINT)
-                       AS lp_pass,
-                   CAST(floor(ln((cf + 1) / (t_fail + v)) * 1e6) AS BIGINT)
-                       AS lp_fail
-            FROM wc, const
-        ), tok AS (
-            SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word
-            FROM base
-        ), contrib AS (
-            SELECT t.doc_id,
-                   coalesce(m.lp_pass, k.oov_pass) AS lp_pass,
-                   coalesce(m.lp_fail, k.oov_fail) AS lp_fail,
-                   CASE WHEN m.word IS NULL THEN 1 ELSE 0 END AS is_oov
-            FROM tok t LEFT JOIN model m ON t.word = m.word CROSS JOIN km k
-        ), per_doc AS (
-            SELECT doc_id,
-                   CAST(sum(lp_pass) AS BIGINT) AS sp,
-                   CAST(sum(lp_fail) AS BIGINT) AS sf,
-                   CAST(sum(is_oov) AS BIGINT) AS n_oov
-            FROM contrib GROUP BY doc_id
-        )
-        SELECT l.doc_id, l.is_train, l.label,
-               CAST(l.n_tokens AS BIGINT) AS n_tokens,
-               coalesce(p.n_oov, 0) AS n_oov,
-               k.prior_pass + coalesce(p.sp, 0) AS score_pass,
-               k.prior_fail + coalesce(p.sf, 0) AS score_fail,
-               k.prior_pass + coalesce(p.sp, 0)
-                   >= k.prior_fail + coalesce(p.sf, 0) AS pred
-        FROM lab l LEFT JOIN per_doc p USING (doc_id) CROSS JOIN km k
-        ORDER BY l.doc_id
-    """
 
 
 @pytest.fixture(scope="module")
