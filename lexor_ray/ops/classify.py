@@ -104,13 +104,25 @@ def train_nb_quality(
         dc.insert(1, "word", "")
         return pd.concat([wc, dc], ignore_index=True)
 
-    counts = (
-        ds.map_batches(partials, batch_format="pandas")
-        .groupby(["kind", "word", "label"])
-        .sum("n")
-        .to_pandas()
-    )
-    counts = counts.rename(columns={"sum(n)": "n"})
+    # merge the per-batch partials with ONE coarse keyed shuffle + a
+    # vectorized pandas sum per bucket (same merged result — sums are
+    # order-independent); Ray's sort-based groupby().sum() on string
+    # keys costs several× more at this shape (see ops/lm.py, measured)
+    from .util import coarse_apply
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["kind", "word", "label"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+
+    counts = coarse_apply(
+        ds.map_batches(partials, batch_format="pandas"),
+        ["kind", "word", "label"],
+        agg,
+        n_buckets=64,
+    ).to_pandas()
     wc = counts[counts["kind"] == "w"]
     dc = counts[counts["kind"] == "d"]
     d_pass = int(dc[dc["label"]]["n"].sum())

@@ -116,13 +116,22 @@ def train_bigram_lm(sf_dir: str) -> dict:
             .reset_index(name="n")
         )
 
-    c2 = (
-        ds.map_batches(partials, batch_format="pandas")
-        .groupby(["prev", "cur"])
-        .sum("n")
-        .to_pandas()
-        .rename(columns={"sum(n)": "n"})
-    )
+    # merge the per-batch partials with ONE coarse keyed shuffle +
+    # a vectorized pandas sum per bucket — Ray's sort-based
+    # groupby().sum() on two string keys costs ~11× more here
+    # (measured 6.2 s vs 0.57 s at sf0.01; same merged result, sums
+    # are order-independent)
+    from .util import coarse_apply
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["prev", "cur"], sort=False)["n"].sum().reset_index()
+
+    c2 = coarse_apply(
+        ds.map_batches(partials, batch_format="pandas"),
+        ["prev", "cur"],
+        agg,
+        n_buckets=64,
+    ).to_pandas()
     # context totals, unigram counts, T and V all derive from the one
     # bigram count table (every token occurs exactly once as `cur`)
     c1 = c2.groupby("prev")["n"].sum()
