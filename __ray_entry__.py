@@ -156,7 +156,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_docs": curation.curation_docs,
         # text analysis (token/quality/score/filter ops recorded fused)
         "text_quality_stats": textstats.text_quality_stats,
-        "gopher_ngram_stats": textstats.gopher_ngram_stats,
+        # the FULL Gopher quality filter (Rae et al. 2021 §A1.1):
+        # repetition fractions + signal counts + per-rule verdicts in
+        # one scan; SUBSUMES gopher_ngram_stats (recorded here through
+        # r3-early; columns asserted identical in tests)
+        "gopher_quality": textstats.gopher_quality,
         # winnowing fingerprints (Schleimer et al.): the polynomial
         # byte hash + window-min + xor-fold is replayed exactly in SQL
         "fingerprints": textstats.fingerprints,
@@ -893,15 +897,42 @@ def oracle_sql() -> dict[str, str]:
         # arg-min tie-break (count desc, gram asc) via ordered first();
         # floats computed as floor(chars * 1e4 / L) / 1e4 in the same
         # operation order as the Ray op — bit-identical.
-        "gopher_ngram_stats": r"""
+        "gopher_quality": r"""
             WITH ws AS (
-                SELECT doc_id, greatest(length(text), 1) AS L,
+                SELECT doc_id, text, greatest(length(text), 1) AS L,
                        CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
                             THEN CAST([] AS VARCHAR[])
                             ELSE string_split_regex(
                                 regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
-                       END AS w
+                       END AS w,
+                       string_split(text, chr(10)) AS ls
                 FROM documents
+            ), sig AS (
+                SELECT doc_id,
+                       CAST(len(w) AS BIGINT) AS n_words,
+                       CAST(coalesce(list_sum(list_transform(w,
+                            x -> length(x))), 0) AS BIGINT) AS n_word_chars,
+                       CAST((length(text) - length(replace(text, '#', '')))
+                            + (length(text)
+                               - length(replace(text, '...', ''))) // 3
+                            + (length(text) - length(replace(text, '…', '')))
+                            AS BIGINT) AS n_symbols,
+                       CAST(len(ls) AS BIGINT) AS n_lines,
+                       CAST(len(list_filter(ls, x -> starts_with(x, '- ')
+                            OR starts_with(x, '* ') OR starts_with(x, '•')))
+                            AS BIGINT) AS n_bullet_lines,
+                       CAST(len(list_filter(ls, x -> ends_with(x, '...')
+                            OR ends_with(x, '…'))) AS BIGINT)
+                           AS n_ellipsis_lines,
+                       CAST(len(list_filter(w,
+                            x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                           AS n_alpha_words,
+                       CAST(len(list_distinct(list_filter(
+                            list_transform(w, x -> lower(x)),
+                            x -> x IN ('the','be','to','of','and',
+                                       'that','have','with')))) AS BIGINT)
+                           AS n_stopwords
+                FROM ws
             ), g2 AS (
                 SELECT doc_id, L, unnest(CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
                     ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END) AS g
@@ -946,15 +977,48 @@ def oracle_sql() -> dict[str, str]:
                            * 10000.0 / any_value(L)) / 10000 AS v
                 FROM c6 GROUP BY doc_id
             )
-            SELECT d.doc_id,
-                   coalesce(t2.v, 0) AS top2_frac, coalesce(t3.v, 0) AS top3_frac,
-                   coalesce(d5.v, 0) AS dup5_frac, coalesce(d6.v, 0) AS dup6_frac
-            FROM documents d
-            LEFT JOIN t2 ON d.doc_id = t2.doc_id
-            LEFT JOIN t3 ON d.doc_id = t3.doc_id
-            LEFT JOIN d5 ON d.doc_id = d5.doc_id
-            LEFT JOIN d6 ON d.doc_id = d6.doc_id
-            ORDER BY d.doc_id
+            , fr AS (
+                SELECT d.doc_id,
+                       coalesce(t2.v, 0) AS top2_frac,
+                       coalesce(t3.v, 0) AS top3_frac,
+                       coalesce(d5.v, 0) AS dup5_frac,
+                       coalesce(d6.v, 0) AS dup6_frac
+                FROM documents d
+                LEFT JOIN t2 ON d.doc_id = t2.doc_id
+                LEFT JOIN t3 ON d.doc_id = t3.doc_id
+                LEFT JOIN d5 ON d.doc_id = d5.doc_id
+                LEFT JOIN d6 ON d.doc_id = d6.doc_id
+            )
+            SELECT fr.doc_id, fr.top2_frac, fr.top3_frac,
+                   fr.dup5_frac, fr.dup6_frac,
+                   s.n_words, s.n_word_chars, s.n_symbols, s.n_lines,
+                   s.n_bullet_lines, s.n_ellipsis_lines, s.n_alpha_words,
+                   s.n_stopwords,
+                   (s.n_words >= 50 AND s.n_words <= 100000) AS rule_words,
+                   (3 * s.n_words <= s.n_word_chars
+                    AND s.n_word_chars <= 10 * s.n_words) AS rule_word_len,
+                   (10 * s.n_symbols <= s.n_words) AS rule_symbols,
+                   (10 * s.n_bullet_lines <= 9 * s.n_lines) AS rule_bullets,
+                   (10 * s.n_ellipsis_lines <= 3 * s.n_lines)
+                       AS rule_ellipsis,
+                   (5 * s.n_alpha_words >= 4 * s.n_words) AS rule_alpha,
+                   (s.n_stopwords >= 2) AS rule_stopwords,
+                   (fr.top2_frac <= 0.20 AND fr.top3_frac <= 0.18
+                    AND fr.dup5_frac <= 0.15 AND fr.dup6_frac <= 0.14)
+                       AS rule_repetition,
+                   ((s.n_words >= 50 AND s.n_words <= 100000)
+                    AND (3 * s.n_words <= s.n_word_chars
+                         AND s.n_word_chars <= 10 * s.n_words)
+                    AND (10 * s.n_symbols <= s.n_words)
+                    AND (10 * s.n_bullet_lines <= 9 * s.n_lines)
+                    AND (10 * s.n_ellipsis_lines <= 3 * s.n_lines)
+                    AND (5 * s.n_alpha_words >= 4 * s.n_words)
+                    AND (s.n_stopwords >= 2)
+                    AND (fr.top2_frac <= 0.20 AND fr.top3_frac <= 0.18
+                         AND fr.dup5_frac <= 0.15 AND fr.dup6_frac <= 0.14))
+                       AS passes_gopher
+            FROM fr JOIN sig s ON fr.doc_id = s.doc_id
+            ORDER BY fr.doc_id
         """,
         # ONE Lloyd iteration from the deterministic init (first k
         # vectors by vec_id, normalized): normalize → cosine argmax

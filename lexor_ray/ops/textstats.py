@@ -802,7 +802,6 @@ class GopherNgrams:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch["text"].fillna("")
-        L = np.maximum(texts.str.len().to_numpy(np.int64), 1)
         words = texts.str.split()
         nw = words.map(len).to_numpy(np.int64)
         flat = (
@@ -811,8 +810,18 @@ class GopherNgrams:
             else np.empty(0, dtype=object)
         )
         row_of = np.repeat(np.arange(len(texts)), nw)
-        W = len(flat)
         out = {"doc_id": batch["doc_id"].to_numpy()}
+        out.update(self._ngram_fracs(texts, flat, row_of))
+        return pd.DataFrame(out)
+
+    def _ngram_fracs(self, texts, flat, row_of) -> dict:
+        """The four repetition fractions from a pre-tokenized batch
+        (``flat`` = all tokens, ``row_of`` = owning row index) — shared
+        with the fused :class:`GopherQuality` so the tokenization pass
+        happens once."""
+        L = np.maximum(texts.str.len().to_numpy(np.int64), 1)
+        W = len(flat)
+        out = {}
         for n, kind, col in self.SPECS:
             vals = np.zeros(len(texts), dtype=np.float64)
             if W >= n:
@@ -855,7 +864,159 @@ class GopherNgrams:
                             ri = agg.index.to_numpy(np.int64)
                             vals[ri] = agg.to_numpy() * 10000.0 / L[ri]
             out[col] = np.floor(vals) / 10000
+        return out
+
+
+#: Gopher §A1.1 thresholds for the repetition fractions we compute
+#: (Rae et al. 2021 table A1: most-frequent 2-/3-gram character
+#: fraction ≤ 0.20/0.18; all-duplicated 5-/6-gram fraction ≤
+#: 0.15/0.14). Compared on the floor-truncated values, so the DuckDB
+#: replay is exact.
+_GOPHER_REP_RULES = (
+    ("top2_frac", 0.20),
+    ("top3_frac", 0.18),
+    ("dup5_frac", 0.15),
+    ("dup6_frac", 0.14),
+)
+
+#: the Gopher stopword set ("must contain ≥2 of ..."), lower-cased
+#: token equality.
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+class GopherQuality(GopherNgrams):
+    """The FULL Gopher quality-filter rule set (Rae et al. 2021 §A1.1,
+    carried into Dolma/RefinedWeb/FineWeb): the repetition fractions of
+    :class:`GopherNgrams` plus the per-document signals and rule
+    verdicts —
+
+    - 50 ≤ word count ≤ 100 000
+    - 3 ≤ mean word length ≤ 10
+    - symbol-to-word ratio (``#`` + ellipsis) ≤ 0.1
+    - ≤ 90% of lines start with a bullet, ≤ 30% end with an ellipsis
+    - ≥ 80% of words contain an alphabetic character
+    - ≥ 2 distinct stopwords present
+    - repetition fractions under the §A1.1 thresholds
+
+    One tokenization pass per batch shared with the n-gram metrics;
+    every ratio rule is evaluated in INTEGER cross-multiplied form
+    (``10·n_symbols ≤ n_words`` instead of ``n_symbols/n_words ≤
+    0.1``), so the DuckDB oracle replays the verdicts exactly — no
+    float division anywhere in a rule."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        n = len(texts)
+        words = texts.str.split()
+        nw = words.map(len).to_numpy(np.int64)
+        flat = (
+            np.concatenate([np.asarray(w, dtype=object) for w in words])
+            if len(words)
+            else np.empty(0, dtype=object)
+        )
+        row_of = np.repeat(np.arange(n), nw)
+        out = {"doc_id": batch["doc_id"].to_numpy()}
+        out.update(self._ngram_fracs(texts, flat, row_of))
+
+        ftok = pd.Series(flat, dtype=object) if len(flat) else pd.Series(
+            [], dtype=object
+        )
+        tok_len = ftok.str.len().to_numpy(np.int64) if len(ftok) else np.empty(
+            0, np.int64
+        )
+        out["n_words"] = nw
+        out["n_word_chars"] = np.bincount(
+            row_of, weights=tok_len, minlength=n
+        ).astype(np.int64)
+        # symbols: '#' chars + non-overlapping '...' runs + '…' chars
+        out["n_symbols"] = (
+            texts.str.count("#").to_numpy(np.int64)
+            + (
+                texts.str.len() - texts.str.replace("...", "", regex=False).str.len()
+            ).to_numpy(np.int64)
+            // 3
+            + texts.str.count("…").to_numpy(np.int64)
+        )
+        lines = texts.str.split("\n")
+        nl = lines.map(len).to_numpy(np.int64)
+        lflat = (
+            pd.Series(
+                np.concatenate([np.asarray(ls, dtype=object) for ls in lines]),
+                dtype=object,
+            )
+            if len(lines)
+            else pd.Series([], dtype=object)
+        )
+        lrow = np.repeat(np.arange(n), nl)
+        bullet = (
+            lflat.str.startswith("- ")
+            | lflat.str.startswith("* ")
+            | lflat.str.startswith("•")
+        ).to_numpy(bool) if len(lflat) else np.empty(0, bool)
+        ell = (
+            lflat.str.endswith("...") | lflat.str.endswith("…")
+        ).to_numpy(bool) if len(lflat) else np.empty(0, bool)
+        out["n_lines"] = nl
+        out["n_bullet_lines"] = np.bincount(
+            lrow[bullet], minlength=n
+        ).astype(np.int64)
+        out["n_ellipsis_lines"] = np.bincount(lrow[ell], minlength=n).astype(
+            np.int64
+        )
+        alpha = (
+            ftok.str.contains("[A-Za-z]", regex=True).to_numpy(bool)
+            if len(ftok)
+            else np.empty(0, bool)
+        )
+        out["n_alpha_words"] = np.bincount(row_of[alpha], minlength=n).astype(
+            np.int64
+        )
+        low = ftok.str.lower() if len(ftok) else ftok
+        n_stop = np.zeros(n, dtype=np.int64)
+        for sw in _GOPHER_STOPWORDS:
+            if len(low):
+                hit = np.bincount(row_of[(low == sw).to_numpy(bool)], minlength=n)
+                n_stop += hit > 0
+        out["n_stopwords"] = n_stop
+
+        out["rule_words"] = (nw >= 50) & (nw <= 100_000)
+        out["rule_word_len"] = (3 * nw <= out["n_word_chars"]) & (
+            out["n_word_chars"] <= 10 * nw
+        )
+        out["rule_symbols"] = 10 * out["n_symbols"] <= nw
+        out["rule_bullets"] = 10 * out["n_bullet_lines"] <= 9 * nl
+        out["rule_ellipsis"] = 10 * out["n_ellipsis_lines"] <= 3 * nl
+        out["rule_alpha"] = 5 * out["n_alpha_words"] >= 4 * nw
+        out["rule_stopwords"] = n_stop >= 2
+        rep = np.ones(n, dtype=bool)
+        for col, thr in _GOPHER_REP_RULES:
+            rep &= out[col] <= thr
+        out["rule_repetition"] = rep
+        out["passes_gopher"] = (
+            out["rule_words"]
+            & out["rule_word_len"]
+            & out["rule_symbols"]
+            & out["rule_bullets"]
+            & out["rule_ellipsis"]
+            & out["rule_alpha"]
+            & out["rule_stopwords"]
+            & rep
+        )
         return pd.DataFrame(out)
+
+
+def gopher_quality(sf_dir: str):
+    """Per-document FULL Gopher quality filter (:class:`GopherQuality`:
+    repetition metrics + signal counts + per-rule verdicts + overall
+    pass): embarrassingly parallel map_batches, no shuffle, the whole
+    row SQL-checkable. Subsumes :func:`gopher_ngram_stats` (columns
+    asserted identical in tests)."""
+    ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    from .util import cached
+
+    return ds.map_batches(
+        lambda b: cached("gopher-quality", GopherQuality)(b), batch_format="pandas"
+    ).sort("doc_id")
 
 
 def gopher_ngram_stats(sf_dir: str):

@@ -162,3 +162,65 @@ def test_neardup_candidates_union(ray_session):
     assert len(j) == len(nj) and len(s) == len(sh)
     assert set(zip(j["a"], j["b"])) == set(zip(nj["a"], nj["b"]))
     assert set(zip(s["a"], s["b"])) == set(zip(sh["a"], sh["b"]))
+
+
+def test_gopher_quality_rules_crafted():
+    """Each Gopher rule flips on a crafted document that violates ONLY
+    it (the others hold), plus one document passing everything."""
+    from lexor_ray.ops.textstats import GopherQuality
+
+    # 60 distinct-ish words incl. >=2 stopwords, alphabetic, no
+    # symbols/bullets/ellipses, mean word length in [3, 10]
+    good = "the quick brown fox jumps over and over with " + " ".join(
+        f"word{i:03d}" for i in range(51)
+    )
+    texts = {
+        "pass": good,
+        "too_short": "the cat sat with a mat",  # < 50 words
+        "long_words": "the with " + " ".join(
+            "x" * 40 for _ in range(58)
+        ),  # mean word length > 10
+        "symbols": good + " " + "#" * 20,  # > 0.1 symbols/word
+        "bullets": "- the item with stuff\n" * 20
+        + good.replace(" ", "\n", 0),  # all lines bulleted
+        "ellipsis": (good + "...\n") * 5,  # >30% lines end ...
+        "non_alpha": "the with " + " ".join(
+            str(i) for i in range(1000, 1058)
+        ),  # <80% alphabetic words
+        "no_stop": " ".join(f"tok{i:03d}" for i in range(60)),
+        "repetition": "the with " + "spam ham " * 40,  # top2 > 0.2
+    }
+    batch = pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": list(texts.values())}
+    )
+    got = GopherQuality()(batch).set_index(
+        pd.Index(list(texts.keys()), name="case")
+    )
+    assert bool(got.loc["pass", "passes_gopher"])
+    expect_broken = {
+        "too_short": "rule_words",
+        "long_words": "rule_word_len",
+        "symbols": "rule_symbols",
+        "bullets": "rule_bullets",
+        "ellipsis": "rule_ellipsis",
+        "non_alpha": "rule_alpha",
+        "no_stop": "rule_stopwords",
+        "repetition": "rule_repetition",
+    }
+    for case, rule in expect_broken.items():
+        assert not got.loc[case, rule], (case, rule)
+        assert not got.loc[case, "passes_gopher"], case
+
+
+def test_gopher_quality_subsumes_ngram_stats(ray_session):
+    """The fused recording entry's repetition columns are identical to
+    the standalone gopher_ngram_stats op (which stays first-class)."""
+    from lexor_ray.ops.textstats import gopher_ngram_stats, gopher_quality
+
+    full = gopher_quality(SF).to_pandas().sort_values("doc_id")
+    frac = gopher_ngram_stats(SF).to_pandas().sort_values("doc_id")
+    cols = ["doc_id", "top2_frac", "top3_frac", "dup5_frac", "dup6_frac"]
+    pd.testing.assert_frame_equal(
+        full[cols].reset_index(drop=True),
+        frac[cols].reset_index(drop=True),
+    )
