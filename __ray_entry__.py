@@ -138,13 +138,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brute_force_topk": similarity.brute_force_topk,
         "ann_recall": similarity.ann_recall,
         "embedding_label_centroids": similarity.embedding_label_centroids,
-        # distributed Lloyd's, recorded at an iteration budget of 1 so
-        # the full float pipeline (normalize → assign → recompute →
-        # reassign) is SQL-expressible; the iterative loop is the SAME
-        # code path and stays convergence/sanity-tested in pytest
-        "kmeans_embeddings": lambda sf_dir: similarity.kmeans_embeddings(
-            sf_dir, max_iters=1
-        ),
+        # distributed Lloyd's recorded at an iteration budget of 1 (the
+        # SQL-expressible budget; the iterative loop is the SAME code
+        # path, convergence-tested in pytest) FUSED with the SQ8
+        # scalar-quantization codes (ops/similarity.sq8_quantize — the
+        # 1-byte-per-dim ANN storage path, all-integer so the replay is
+        # exact) in ONE shuffle-free scan; fused == standalone asserted
+        "embedding_features": similarity.embedding_features,
         # deterministic corpus curation: hash split + stratified
         # sampling + per-source caps + global shuffle rank (SQL-checked
         # via the identical splitmix64 arithmetic in DuckDB)
@@ -1025,7 +1025,7 @@ def oracle_sql() -> dict[str, str]:
         # (ties → lowest cluster, matching np.argmax) → centroid
         # mean-of-normalized + renormalize (empty/zero clusters keep
         # init) → final assignment; cosine floor-truncated both sides.
-        "kmeans_embeddings": """
+        "embedding_features": """
             WITH e AS (
                 SELECT vec_id,
                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1061,16 +1061,37 @@ def oracle_sql() -> dict[str, str]:
                                 x -> x / sqrt(list_sum(list_transform(nr.v, y -> y*y))))
                        END AS v
                 FROM init i LEFT JOIN newc_raw nr USING (cluster)
+            ), km AS (
+                SELECT en.vec_id,
+                       CAST((SELECT c.cluster FROM newc c
+                             ORDER BY list_dot_product(en.v, c.v) DESC, c.cluster
+                             LIMIT 1) AS INT) AS cluster,
+                       (SELECT floor(list_dot_product(en.v, c.v) * 10000) / 10000
+                        FROM newc c
+                        ORDER BY list_dot_product(en.v, c.v) DESC, c.cluster
+                        LIMIT 1) AS cosine_to_centroid
+                FROM en
+            ), qstats AS (
+                SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+                FROM e, range(1, 65) t(i) GROUP BY i
+            ), qflat AS (
+                SELECT e.vec_id, t.i,
+                       CAST(CASE WHEN s.mx = s.mn THEN 0
+                            ELSE least(255.0, greatest(0.0,
+                                 floor((e.v[t.i] - s.mn) * 255.0
+                                       / (s.mx - s.mn)))) END AS BIGINT) AS c
+                FROM e, range(1, 65) t(i) JOIN qstats s ON s.i = t.i
+            ), qcodes AS (
+                SELECT vec_id, list(c ORDER BY i) AS codes,
+                       CAST(min(c) AS BIGINT) AS code_min,
+                       CAST(max(c) AS BIGINT) AS code_max,
+                       CAST(sum(c) AS BIGINT) AS code_sum
+                FROM qflat GROUP BY vec_id
             )
-            SELECT en.vec_id,
-                   CAST((SELECT c.cluster FROM newc c
-                         ORDER BY list_dot_product(en.v, c.v) DESC, c.cluster
-                         LIMIT 1) AS INT) AS cluster,
-                   (SELECT floor(list_dot_product(en.v, c.v) * 10000) / 10000
-                    FROM newc c
-                    ORDER BY list_dot_product(en.v, c.v) DESC, c.cluster
-                    LIMIT 1) AS cosine_to_centroid
-            FROM en ORDER BY en.vec_id
+            SELECT km.vec_id, km.cluster, km.cosine_to_centroid,
+                   q.codes, q.code_min, q.code_max, q.code_sum
+            FROM km JOIN qcodes q USING (vec_id)
+            ORDER BY km.vec_id
         """,
         # Winnowing (Schleimer et al., SIGMOD'03) replayed exactly:
         # polynomial rolling hash base 257 mod 2^64 over the document

@@ -31,9 +31,10 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norm
 
 
-def _query_matrix(sf_dir: str, n_queries: int):
+def _query_matrix(sf_dir: str, n_queries: int, normalize: bool = True):
     """The first n_queries vec_ids serve as the query set —
-    deterministic and oracle-expressible.
+    deterministic and oracle-expressible. ``normalize=False`` returns
+    the raw float64 rows (the SQ8 path quantizes raw vectors).
 
     Pruned read (round-1 verdict fix): the embeddings table is written
     sorted by vec_id, so only the leading row group(s) are read — a
@@ -52,8 +53,8 @@ def _query_matrix(sf_dir: str, n_queries: int):
     t = pa.concat_tables(tabs)
     df = t.to_pandas().sort_values("vec_id").head(n_queries)
     qids = df["vec_id"].to_numpy()
-    qm = _normalize(np.asarray(df["embedding"].tolist(), dtype=np.float64))
-    return qids, qm
+    qm = np.asarray(df["embedding"].tolist(), dtype=np.float64)
+    return qids, (_normalize(qm) if normalize else qm)
 
 
 def brute_force_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
@@ -551,3 +552,208 @@ def semdedup(
         .map_groups(prune, batch_format="pandas")
         .sort("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (SQ8) — the ANN storage/shuffle scale path:
+# 1 byte per dimension instead of 4, per-dimension global [min, max]
+# grid. Faiss's ScalarQuantizer recipe (public); at 100 TB the codes
+# table is what gets stored and shuffled, the float vectors stay at
+# rest.
+
+
+def _sq8_stats(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension global (min, max) over the embeddings table:
+    per-batch vectorized partials (one row per block: the block's
+    elementwise min/max), then a bounded driver fold — collected state
+    is 2 × dim floats × n_blocks, never the vectors."""
+    ds = tbl(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        if arr.size == 0:
+            return pa.table(
+                {"mn": pa.array([], pa.list_(pa.float64())),
+                 "mx": pa.array([], pa.list_(pa.float64()))}
+            )
+        return pa.table(
+            {"mn": [arr.min(axis=0).tolist()], "mx": [arr.max(axis=0).tolist()]}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    mn = np.asarray(parts["mn"].tolist(), dtype=np.float64).min(axis=0)
+    mx = np.asarray(parts["mx"].tolist(), dtype=np.float64).max(axis=0)
+    return mn, mx
+
+
+def _sq8_codes(emb: np.ndarray, mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
+    """Quantize float64 rows onto the per-dimension 0..255 grid.
+    Exactly ``least(255, greatest(0, floor((x - mn) * 255.0 /
+    (mx - mn))))`` — the same IEEE operations in the same order as the
+    DuckDB oracle, so codes are bit-identical; degenerate dimensions
+    (mx == mn) quantize to 0."""
+    span = mx - mn
+    safe = np.where(span == 0, 1.0, span)
+    raw = np.floor((emb - mn) * 255.0 / safe)
+    codes = np.clip(raw, 0.0, 255.0)
+    return np.where(span == 0, 0.0, codes).astype(np.int64)
+
+
+def sq8_quantize(sf_dir: str):
+    """Per-vector SQ8 codes: one stats pass (broadcast min/max grid)
+    then a shuffle-free quantization scan. Returns (vec_id,
+    codes:list<int64>, code_min, code_max, code_sum) — all integers,
+    so the DuckDB replay is exact with no float tolerance anywhere."""
+    import ray
+
+    mn, mx = _sq8_stats(sf_dir)
+    grid_ref = ray.put((mn, mx))
+    ds = tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def quant(batch: pa.Table) -> pa.Table:
+        mn_, mx_ = ray.get(grid_ref)
+        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        if emb.size == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "codes": pa.array([], pa.list_(pa.int64())),
+                    "code_min": pa.array([], pa.int64()),
+                    "code_max": pa.array([], pa.int64()),
+                    "code_sum": pa.array([], pa.int64()),
+                }
+            )
+        codes = _sq8_codes(emb, mn_, mx_)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "codes": pa.array(codes.tolist(), pa.list_(pa.int64())),
+                "code_min": pa.array(codes.min(axis=1)),
+                "code_max": pa.array(codes.max(axis=1)),
+                "code_sum": pa.array(codes.sum(axis=1)),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow").sort("vec_id")
+
+
+def sq8_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
+    """Brute-force cosine top-k in the QUANTIZED domain: vectors are
+    dequantized per batch from their SQ8 codes (``mn + (c + 0.5) ·
+    span/255``) — at scale only the 1-byte codes move; recall vs the
+    exact :func:`brute_force_topk` is gated in tests."""
+    import ray
+
+    mn, mx = _sq8_stats(sf_dir)
+    qids, qraw = _query_matrix(sf_dir, n_queries, normalize=False)
+    # the query side goes through the same quantize→dequantize grid so
+    # both sides live in the code space
+    span = mx - mn
+    qdq = mn + (_sq8_codes(qraw, mn, mx) + 0.5) * (
+        np.where(span == 0, 0.0, span) / 255.0
+    )
+    q_ref = ray.put((qids, _normalize(qdq), mn, mx))
+    ds = tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids_, qdq_, mn_, mx_ = ray.get(q_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        if emb.size == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        span_ = mx_ - mn_
+        dq = mn_ + (_sq8_codes(emb, mn_, mx_) + 0.5) * (
+            np.where(span_ == 0, 0.0, span_) / 255.0
+        )
+        sims = qdq_ @ _normalize(dq).T
+        out_q, out_v, out_s = [], [], []
+        kk = min(k + 1, sims.shape[1])
+        for qi in range(len(qids_)):
+            row = sims[qi]
+            idx = np.argpartition(-row, kk - 1)[:kk]
+            for j in idx:
+                if ids[j] == qids_[qi]:
+                    continue
+                out_q.append(qids_[qi])
+                out_v.append(ids[j])
+                out_s.append(row[j])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        top = heapq.nsmallest(
+            k, group.itertuples(index=False), key=lambda r: (-r.cosine, r.vec_id)
+        )
+        return pd.DataFrame(
+            {
+                "query_id": [r.query_id for r in top],
+                "vec_id": [r.vec_id for r in top],
+                "rank": list(range(1, len(top) + 1)),
+            }
+        )
+
+    return (
+        cand.groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+        .sort(["query_id", "rank"])
+    )
+
+
+def embedding_features(sf_dir: str, k: int = 8):
+    """Fused per-vector recording row: the one-Lloyd-iteration k-means
+    assignment (the SQL-expressible budget, same code path as the
+    iterative :func:`kmeans_embeddings`) AND the SQ8 codes, emitted in
+    ONE shuffle-free scan (centroids + quantization grid broadcast).
+    Fused == standalone column-for-column (asserted in tests)."""
+    import ray
+
+    centroids = _kmeans_centroids(sf_dir, k, max_iters=1)
+    mn, mx = _sq8_stats(sf_dir)
+    state_ref = ray.put((centroids, mn, mx))
+    ds = tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def fused(batch: pa.Table) -> pa.Table:
+        c, mn_, mx_ = ray.get(state_ref)
+        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        if emb.size == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int32()),
+                    "cosine_to_centroid": pa.array([], pa.float64()),
+                    "codes": pa.array([], pa.list_(pa.int64())),
+                    "code_min": pa.array([], pa.int64()),
+                    "code_max": pa.array([], pa.int64()),
+                    "code_sum": pa.array([], pa.int64()),
+                }
+            )
+        norm = _normalize(emb)
+        sims = norm @ c.T
+        assign = np.argmax(sims, axis=1)
+        codes = _sq8_codes(emb, mn_, mx_)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cluster": pa.array(assign.astype(np.int32)),
+                "cosine_to_centroid": pa.array(
+                    np.floor(sims[np.arange(len(assign)), assign] * 10000) / 10000
+                ),
+                "codes": pa.array(codes.tolist(), pa.list_(pa.int64())),
+                "code_min": pa.array(codes.min(axis=1)),
+                "code_max": pa.array(codes.max(axis=1)),
+                "code_sum": pa.array(codes.sum(axis=1)),
+            }
+        )
+
+    return ds.map_batches(fused, batch_format="pyarrow").sort("vec_id")

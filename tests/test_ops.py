@@ -778,3 +778,64 @@ def test_quality_filter_scores_merges_components(ray_session):
     )
     kept = df(filter_quality_documents(SF))
     assert set(kept["doc_id"]) == set(fused.index[fused["passes"]])
+
+
+def test_sq8_quantize_roundtrip_and_bounds(ray_session):
+    """Codes are in 0..255; dequantization error is bounded by one
+    grid cell (span/255) per dimension."""
+    import pyarrow.parquet as pq
+
+    from lexor_ray.ops.similarity import _sq8_codes, _sq8_stats, sq8_quantize
+
+    got = sq8_quantize(SF).to_pandas()
+    assert got.code_min.min() >= 0 and got.code_max.max() <= 255
+    mn, mx = _sq8_stats(SF)
+    emb = np.asarray(
+        pq.read_table(SF + "/embeddings.parquet")
+        .sort_by("vec_id")
+        .column("embedding")
+        .to_pylist(),
+        dtype=np.float64,
+    )
+    codes = np.asarray(got.sort_values("vec_id")["codes"].tolist(), np.int64)
+    span = np.where(mx - mn == 0, 0.0, mx - mn)
+    dq = mn + (codes + 0.5) * span / 255.0
+    assert np.abs(emb - dq).max() <= (span.max() / 255.0) + 1e-12
+    # quantizing the dequantized points is a fixed point of the grid
+    assert (_sq8_codes(dq, mn, mx) == codes).all()
+
+
+def test_sq8_topk_recall(ray_session):
+    """Quantized-domain top-k keeps high recall vs the exact search."""
+    from lexor_ray.ops.similarity import brute_force_topk, sq8_topk
+
+    ex = brute_force_topk(SF).to_pandas()
+    qd = sq8_topk(SF).to_pandas()
+    exs = ex.groupby("query_id")["vec_id"].apply(set)
+    qs = qd.groupby("query_id")["vec_id"].apply(set)
+    recall = np.mean([len(exs[q] & qs[q]) / len(exs[q]) for q in exs.index])
+    assert recall >= 0.8
+
+
+def test_embedding_features_matches_standalone(ray_session):
+    """The fused recording entry is column-for-column identical to the
+    two standalone ops (one-iteration k-means + sq8_quantize)."""
+    from lexor_ray.ops.similarity import (
+        embedding_features,
+        kmeans_embeddings,
+        sq8_quantize,
+    )
+
+    fused = embedding_features(SF).to_pandas().sort_values("vec_id")
+    km = kmeans_embeddings(SF, max_iters=1).to_pandas().sort_values("vec_id")
+    sq = sq8_quantize(SF).to_pandas().sort_values("vec_id")
+    pd.testing.assert_frame_equal(
+        fused[["vec_id", "cluster", "cosine_to_centroid"]].reset_index(drop=True),
+        km.reset_index(drop=True),
+    )
+    pd.testing.assert_frame_equal(
+        fused[["vec_id", "codes", "code_min", "code_max", "code_sum"]].reset_index(
+            drop=True
+        ),
+        sq.reset_index(drop=True),
+    )
