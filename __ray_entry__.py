@@ -106,7 +106,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_tool_turn_flags": _first_tool_flags,
         # transcripts relational (SQL-checked)
         "role_distribution": transcripts_ops.role_distribution,
-        "exact_dedup_turns": transcripts_ops.exact_dedup_turns,
+        # EXACT corpus-wide top-k terms (one keyed count shuffle +
+        # per-bucket top-k, SQL-checked); the bounded-memory CMS tier
+        # (ops/sketch.cms_heavy_hitters) is asserted to find the same
+        # top-k in tests
+        "heavy_hitter_terms": sketch.heavy_hitter_terms,
         # relational over testdata tables (SQL-checked)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_revenue_orders": relational.q3_top_revenue_orders,
@@ -127,7 +131,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # all-pairs-Jaccard oracles in round 3: deterministic LSH with
         # measured 100% recall at the checked scales makes the verified
         # pair set equal the exact thresholded pair set)
-        "exact_dedup": dedup.exact_dedup,
+        # the exact-dedup family recorded as ONE tagged union (same
+        # operator over documents + transcript turns; both oracles ride
+        # in the union SQL; the standalone ops stay first-class)
+        "exact_dedup": dedup.exact_dedup_all,
         "minhash_dedup": dedup.minhash_dedup,
         "dedup_clusters": dedup.dedup_clusters,
         "shingle_overlap_pairs": dedup.shingle_overlap_pairs,
@@ -295,10 +302,19 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{t}')
             GROUP BY conv_id ORDER BY conv_id
         """,
-        "exact_dedup_turns": f"""
-            SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS n_copies
-            FROM read_parquet('{t}')
-            GROUP BY conv_id, turn_idx ORDER BY conv_id, turn_idx
+        "heavy_hitter_terms": """
+            WITH tok AS (
+                SELECT unnest(regexp_extract_all(coalesce(text, ''), '\\S+'))
+                    AS term
+                FROM documents
+            ), cnt AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS term_count
+                FROM tok GROUP BY term
+            )
+            SELECT CAST(row_number() OVER
+                        (ORDER BY term_count DESC, term) AS BIGINT) AS rank,
+                   term, term_count
+            FROM cnt ORDER BY term_count DESC, term LIMIT 20
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -463,9 +479,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT l_returnflag, l_linestatus
             FROM lineitem ORDER BY l_returnflag, l_linestatus
         """,
-        "exact_dedup": """
-            SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
-            FROM documents GROUP BY text ORDER BY doc_id
+        "exact_dedup": f"""
+            WITH d AS (
+                SELECT min(doc_id) AS doc_id,
+                       CAST(count(*) AS BIGINT) AS n_copies
+                FROM documents GROUP BY text
+            )
+            SELECT 'documents' AS kind, CAST(doc_id AS VARCHAR) AS key,
+                   CAST(-1 AS BIGINT) AS turn_idx, n_copies
+            FROM d
+            UNION ALL
+            SELECT 'turns', conv_id, CAST(turn_idx AS BIGINT),
+                   CAST(count(*) AS BIGINT)
+            FROM read_parquet('{t}')
+            GROUP BY conv_id, turn_idx
+            ORDER BY kind, key, turn_idx
         """,
         # MinHash near-dup verify vs the EXACT all-pairs word-3-shingle
         # Jaccard at/above threshold. Sound because (a) the verify

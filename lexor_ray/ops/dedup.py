@@ -60,6 +60,45 @@ def exact_dedup(sf_dir: str):
     return out.drop_columns(["h"]).sort("doc_id")
 
 
+def exact_dedup_all(sf_dir: str):
+    """Tagged-union recording row for the exact-dedup family: the SAME
+    operator over both tables — content-hash dedup of ``documents``
+    (:func:`exact_dedup`) and key dedup of the transcripts turns
+    (``transcripts_ops.exact_dedup_turns``) — so both stay
+    oracle-checked through one driver-window entry. Schema
+    ``(kind, key, turn_idx, n_copies)``; document rows use
+    ``turn_idx = -1`` (a sentinel, not NULL, so the column stays
+    int64 on both compare sides)."""
+    from .transcripts_ops import exact_dedup_turns
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(["documents"] * len(t), pa.string()),
+                "key": pc.cast(t["doc_id"], pa.string()),
+                "turn_idx": pa.array(np.full(len(t), -1, np.int64)),
+                "n_copies": pc.cast(t["n_copies"], pa.int64()),
+            }
+        )
+
+    def tag_turns(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(["turns"] * len(t), pa.string()),
+                "key": t["conv_id"],
+                "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                "n_copies": pc.cast(t["n_copies"], pa.int64()),
+            }
+        )
+
+    u = exact_dedup(sf_dir).map_batches(tag_docs, batch_format="pyarrow").union(
+        exact_dedup_turns(sf_dir).map_batches(tag_turns, batch_format="pyarrow")
+    )
+    # identity pyarrow pass: a union can mix pandas/arrow blocks, which
+    # crashes the sort sampler downstream (CLAUDE.md rule)
+    return u.map_batches(lambda t: t, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 

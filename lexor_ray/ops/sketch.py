@@ -148,3 +148,137 @@ def distinct_users_exact_and_sketch(sf_dir: str):
     return exact.merge(approx, on="event_type").sort_values(
         "event_type", ignore_index=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: exact distributed top-k terms + a Count-Min-Sketch
+# tier (Cormode & Muthukrishnan 2005) whose memory is bounded by the
+# d × w counter matrix regardless of vocabulary size.
+
+#: (multiplier, offset) pairs for the d CMS hash rows — odd 64-bit
+#: constants (splitmix64 increments), applied to one base hash.
+_CMS_SEEDS = (
+    (0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9),
+    (0x94D049BB133111EB, 0xD6E8FEB86659FD93),
+    (0xA5A5A5A5A5A5A5A5, 0x0123456789ABCDEF),
+    (0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9),
+)
+
+
+def heavy_hitter_terms(sf_dir: str, k: int = 20):
+    """EXACT corpus-wide top-k most frequent whitespace tokens:
+    per-batch token-count partials (one row per distinct term per
+    batch — the shuffle moves counts, not tokens), ONE coarse keyed
+    shuffle summing per term with a per-bucket top-k (exact: a term
+    lives entirely in one bucket), then a final k·n_buckets-row merge.
+    Ties broken (count desc, term asc). SQL-checkable; the
+    bounded-memory scale tier is :func:`cms_heavy_hitters` (asserted
+    to find the same top-k in tests)."""
+    from .util import coarse_apply
+
+    ds = tbl(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = (
+            batch.to_pandas()["text"].fillna("").str.split().explode().dropna()
+        )
+        vc = toks.value_counts()
+        return pa.table(
+            {
+                "term": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                "c": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("term", sort=False)["c"].sum().reset_index()
+        return agg.sort_values(
+            ["c", "term"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    cand = coarse_apply(parts, ["term"], bucket_topk, n_buckets=64)
+
+    def final(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .sort_values(["c", "term"], ascending=[False, True], kind="mergesort")
+            .head(k)
+        )
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(df) + 1, dtype=np.int64)),
+                "term": pa.array(df["term"].to_numpy(dtype=object), pa.string()),
+                "term_count": pa.array(df["c"].to_numpy(np.int64)),
+            }
+        )
+
+    return cand.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+def _cms_rows(h: np.ndarray, w: int) -> np.ndarray:
+    """(d, n) CMS column indices for a uint64 base-hash array."""
+    idx = np.empty((len(_CMS_SEEDS), len(h)), dtype=np.int64)
+    for r, (a, b) in enumerate(_CMS_SEEDS):
+        mixed = h * np.uint64(a) + np.uint64(b)  # wraps mod 2^64
+        idx[r] = (mixed % np.uint64(w)).astype(np.int64)
+    return idx
+
+
+def cms_heavy_hitters(sf_dir: str, k: int = 20, w: int = 1 << 13, cand: int = 64):
+    """Count-Min-Sketch heavy hitters — the bounded-memory scale tier:
+    each batch emits ONE row (its d×w counter matrix + its local
+    top-``cand`` candidate terms); the driver folds the matrices
+    (collected state = d·w ints per block, never the vocabulary) and
+    ranks the candidate union by the CMS min-estimate. Estimates only
+    ever OVERCOUNT (collision bias), so a true heavy hitter cannot be
+    pushed out by undercounting; tested against
+    :func:`heavy_hitter_terms` plus the overestimate property."""
+    d = len(_CMS_SEEDS)
+    ds = tbl(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = (
+            batch.to_pandas()["text"].fillna("").str.split().explode().dropna()
+        )
+        vc = toks.value_counts()
+        terms = vc.index.to_numpy(dtype=object)
+        counts = vc.to_numpy(np.int64)
+        cms = np.zeros((d, w), dtype=np.int64)
+        if len(terms):
+            h = pd.util.hash_array(terms).astype(np.uint64)
+            rows = _cms_rows(h, w)
+            for r in range(d):
+                np.add.at(cms[r], rows[r], counts)
+        return pa.table(
+            {
+                "cms": pa.array([cms.reshape(-1).tolist()], pa.list_(pa.int64())),
+                "cand_terms": pa.array(
+                    [terms[:cand].tolist()], pa.list_(pa.string())
+                ),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    total = np.zeros((d, w), dtype=np.int64)
+    cand_terms: set = set()
+    for _, row in parts.iterrows():
+        total += np.asarray(row["cms"], dtype=np.int64).reshape(d, w)
+        cand_terms.update(row["cand_terms"])
+    terms = np.asarray(sorted(cand_terms), dtype=object)
+    if len(terms) == 0:
+        return pd.DataFrame({"rank": [], "term": [], "est_count": []})
+    h = pd.util.hash_array(terms).astype(np.uint64)
+    rows = _cms_rows(h, w)
+    est = np.min(
+        np.stack([total[r][rows[r]] for r in range(d)], axis=0), axis=0
+    )
+    order = np.lexsort((terms, -est))[:k]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+            "term": terms[order],
+            "est_count": est[order],
+        }
+    )

@@ -75,3 +75,46 @@ def test_sparse_mode_exact_and_dense_degrade():
         [0, 1], [parts[0].tolist(), _registers(big).tolist()]
     )
     assert abs(est2 - 50000) / 50000 < 0.06
+
+
+def test_cms_heavy_hitters_matches_exact(ray_session):
+    """The CMS tier finds the same top-k terms as the exact keyed
+    shuffle, and every estimate only ever OVERCOUNTS."""
+    import duckdb
+
+    from lexor_ray.ops.sketch import cms_heavy_hitters, heavy_hitter_terms
+
+    k = 20
+    exact = heavy_hitter_terms(SF, k=k).to_pandas()
+    cms = cms_heavy_hitters(SF, k=k)
+    assert set(cms["term"]) == set(exact["term"])
+    con = duckdb.connect()
+    true_counts = con.sql(
+        f"""SELECT term, CAST(count(*) AS BIGINT) AS c FROM (
+               SELECT unnest(regexp_extract_all(coalesce(text, ''), '\\S+'))
+                   AS term
+               FROM read_parquet('{SF}/documents.parquet'))
+            GROUP BY term"""
+    ).df().set_index("term")["c"]
+    for _, row in cms.iterrows():
+        assert row["est_count"] >= true_counts[row["term"]]
+
+
+def test_cms_heavy_hitters_planted_skew(ray_session, tmp_path):
+    """A planted zipf-ish corpus: the handful of very hot terms must
+    surface through the sketch in rank order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lexor_ray.ops.sketch import cms_heavy_hitters
+
+    rows = []
+    for i in range(200):
+        body = ["hot0"] * 50 + ["hot1"] * 30 + ["hot2"] * 10 + [
+            f"rare{i}_{j}" for j in range(5)
+        ]
+        rows.append({"doc_id": i, "text": " ".join(body)})
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    got = cms_heavy_hitters(str(tmp_path), k=3)
+    assert list(got["term"]) == ["hot0", "hot1", "hot2"]
+    assert got["est_count"].iloc[0] >= 200 * 50
