@@ -53,24 +53,30 @@ def q1_pricing_summary(sf_dir: str):
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    from ray.data.aggregate import Sum
+    from .util import fold_bounded
 
-    out = parts.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity_sum", alias_name="sum_qty"),
-        Sum("l_extendedprice_sum", alias_name="sum_base_price"),
-        Sum("disc_price_sum", alias_name="sum_disc_price"),
-        Sum("l_quantity_count", alias_name="count_order"),
-    )
+    # the (returnflag, linestatus) domain is a handful of pairs —
+    # two-level arrow fold instead of a sort-shuffle groupby + a
+    # trailing Dataset.sort (both are pure fixed overhead on 6 rows)
+    out = fold_bounded(parts, ["l_returnflag", "l_linestatus"])
 
     def finalize(batch: pa.Table) -> pa.Table:
-        for c, nd in (("sum_qty", 2), ("sum_base_price", 2), ("sum_disc_price", 2)):
+        batch = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": batch["l_quantity_sum"],
+                "sum_base_price": batch["l_extendedprice_sum"],
+                "sum_disc_price": batch["disc_price_sum"],
+                "count_order": batch["l_quantity_count"],
+            }
+        )
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
             i = batch.schema.get_field_index(c)
-            batch = batch.set_column(i, c, pc.round(batch[c], ndigits=nd))
+            batch = batch.set_column(i, c, pc.round(batch[c], ndigits=2))
         return batch
 
-    return out.map_batches(finalize, batch_format="pyarrow").sort(
-        ["l_returnflag", "l_linestatus"]
-    )
+    return out.map_batches(finalize, batch_format="pyarrow")
 
 
 def q3_top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
@@ -331,24 +337,28 @@ def events_tumbling_window(sf_dir: str, window_s: int = 3600):
             [("value", "sum"), ("value", "count")]
         )
 
-    from ray.data.aggregate import Sum
+    from .util import fold_bounded
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
-        .aggregate(
-            Sum("value_sum", alias_name="value_sum"),
-            Sum("value_count", alias_name="n_events"),
-        )
+    # key domain = event types × time windows (data-independent) —
+    # two-level fold, see fold_bounded
+    out = fold_bounded(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "window_start"],
     )
-    return out.map_batches(
-        lambda b: b.set_column(
-            b.schema.get_field_index("value_sum"),
-            "value_sum",
-            pc.round(b["value_sum"], ndigits=3),
-        ),
-        batch_format="pyarrow",
-    ).sort(["event_type", "window_start"])
+    return out.map_batches(_window_finalize, batch_format="pyarrow")
+
+
+def _window_finalize(b: pa.Table) -> pa.Table:
+    """(value_sum, value_count) partials → rounded (value_sum,
+    n_events) output columns (shared by tumbling/sliding)."""
+    return pa.table(
+        {
+            "event_type": b["event_type"],
+            "window_start": b["window_start"],
+            "value_sum": pc.round(b["value_sum"], ndigits=3),
+            "n_events": b["value_count"],
+        }
+    )
 
 
 def events_sliding_window(sf_dir: str, size_s: int = 3600, step_s: int = 1800):
@@ -385,24 +395,13 @@ def events_sliding_window(sf_dir: str, size_s: int = 3600, step_s: int = 1800):
             [("value", "sum"), ("value", "count")]
         )
 
-    from ray.data.aggregate import Sum
+    from .util import fold_bounded
 
-    out = (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
-        .aggregate(
-            Sum("value_sum", alias_name="value_sum"),
-            Sum("value_count", alias_name="n_events"),
-        )
+    out = fold_bounded(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["event_type", "window_start"],
     )
-    return out.map_batches(
-        lambda b: b.set_column(
-            b.schema.get_field_index("value_sum"),
-            "value_sum",
-            pc.round(b["value_sum"], ndigits=3),
-        ),
-        batch_format="pyarrow",
-    ).sort(["event_type", "window_start"])
+    return out.map_batches(_window_finalize, batch_format="pyarrow")
 
 
 def events_windows(sf_dir: str):
