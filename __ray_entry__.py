@@ -191,11 +191,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "model_quality": lm.model_quality,
         # multimodal scalar roll-up (SQL-checked)
         "media_byte_totals": multimodal.media_byte_totals,
+        # greedy sequence packing — the per-shard bin recursion is a
+        # linear recurrence, replayed exactly by a RECURSIVE CTE
+        # (oracle-checked since late r3)
+        "pack_sequences": packing.pack_sequences,
         # ---- rows-only tail (genuinely non-SQL: seeded hash
-        # families, payload-byte features, greedy bin packing) ----
+        # families, payload-byte features) ----
         "neardup_candidates": dedup.neardup_candidates,
         "media_pipeline": multimodal.media_pipeline,
-        "pack_sequences": packing.pack_sequences,
     }
 
 
@@ -218,6 +221,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from lexor_ray.ops.lm import (
         model_quality_oracle_sql as _model_quality_oracle,
+    )
+    from lexor_ray.ops.packing import (
+        pack_sequences_oracle_sql as _pack_oracle,
     )
 
     return {
@@ -836,6 +842,9 @@ def oracle_sql() -> dict[str, str]:
         # log-probs) and rescores every document; integer micro-nat
         # scores make the comparison exact.
         "model_quality": _model_quality_oracle("documents"),
+        # the greedy packing plan replayed by a RECURSIVE CTE: one
+        # iteration per within-shard rank carrying (bin, pos, fill)
+        "pack_sequences": _pack_oracle("documents"),
         # discrete quantiles; rank convention floor((n-1)*q) matches
         # quantile_disc exactly
         "doc_length_quantiles": """

@@ -27,10 +27,13 @@ nothing. ``n_shards`` controls shard size: at 100 TB pick shards of
 quality loss vs a single global sequence is nil because greedy
 packing is order-local.
 
-The greedy recursion is not window-function expressible, so there is
-no SQL oracle; tests/test_packing.py instead checks the op against an
-independent naive per-document reference implementation plus the full
-invariant set (budget, contiguity, greedy tightness, determinism).
+The greedy recursion is not window-function expressible, but it IS a
+linear recurrence per shard, so the DuckDB oracle replays it exactly
+with a RECURSIVE CTE (one iteration per within-shard rank:
+:func:`pack_sequences_oracle_sql`); tests/test_packing.py additionally
+checks the op against an independent naive per-document reference
+implementation plus the full invariant set (budget, contiguity,
+greedy tightness, determinism).
 """
 
 from __future__ import annotations
@@ -101,3 +104,63 @@ def pack_sequences(sf_dir: str, budget: int = 512, n_shards: int = 64):
         .map_groups(pack, batch_format="pandas")
         .sort("doc_id")
     )
+
+
+def pack_sequences_oracle_sql(
+    source: str, budget: int = 512, n_shards: int = 64
+) -> str:
+    """DuckDB replay of the ENTIRE packing plan: splitmix64 shard,
+    within-shard doc_id order, and the greedy bin recursion as a
+    RECURSIVE CTE — each iteration advances every shard by one rank,
+    carrying (bin_idx, pos_in_bin, fill). All-integer, so the match is
+    exact. Shared by __ray_entry__ and tests/test_packing.py."""
+    from .util import sql_source
+
+    return f"""
+        WITH RECURSIVE s0 AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(coalesce(text, ''), '\\S+'))
+                       AS n_tokens,
+                   CAST((CAST(doc_id AS UHUGEINT)
+                         + 11400714819323198485::UHUGEINT)
+                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
+            FROM {sql_source(source)}
+        ), s1 AS (
+            SELECT doc_id, n_tokens,
+                   CAST((CAST(xor(za, za >> 30) AS UHUGEINT)
+                         * 13787848793156543929::UHUGEINT)
+                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
+            FROM s0
+        ), s2 AS (
+            SELECT doc_id, n_tokens,
+                   CAST((CAST(xor(za, za >> 27) AS UHUGEINT)
+                         * 10723151780598845931::UHUGEINT)
+                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
+            FROM s1
+        ), base AS (
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(xor(za, za >> 31) % {n_shards} AS BIGINT) AS shard,
+                   CAST(row_number() OVER (
+                        PARTITION BY xor(za, za >> 31) % {n_shards}
+                        ORDER BY doc_id) AS BIGINT) AS rn
+            FROM s2
+        ), rec AS (
+            SELECT shard, rn, doc_id, n_tokens,
+                   CAST(0 AS BIGINT) AS bin_idx,
+                   CAST(0 AS BIGINT) AS pos_in_bin,
+                   n_tokens AS fill
+            FROM base WHERE rn = 1
+            UNION ALL
+            SELECT b.shard, b.rn, b.doc_id, b.n_tokens,
+                   CASE WHEN r.fill + b.n_tokens <= {budget}
+                        THEN r.bin_idx ELSE r.bin_idx + 1 END,
+                   CASE WHEN r.fill + b.n_tokens <= {budget}
+                        THEN r.pos_in_bin + 1 ELSE CAST(0 AS BIGINT) END,
+                   CASE WHEN r.fill + b.n_tokens <= {budget}
+                        THEN r.fill + b.n_tokens ELSE b.n_tokens END
+            FROM rec r JOIN base b ON b.shard = r.shard AND b.rn = r.rn + 1
+        )
+        SELECT doc_id, n_tokens, shard, bin_idx, pos_in_bin,
+               n_tokens > {budget} AS oversize
+        FROM rec ORDER BY doc_id
+    """

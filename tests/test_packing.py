@@ -87,3 +87,23 @@ def test_pack_sequences_layout_independent(ray_session):
     finally:
         packing.tbl = orig_tbl
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pack_sequences_matches_recursive_cte(ray_session):
+    """The driver oracle: the full plan (splitmix64 shard, doc_id
+    order, greedy bins) replayed by the RECURSIVE CTE is exact."""
+    import duckdb
+
+    from lexor_ray.ops.packing import pack_sequences_oracle_sql
+
+    got = (
+        pack_sequences(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = (
+        con.sql(pack_sequences_oracle_sql(SF + "/documents.parquet"))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
