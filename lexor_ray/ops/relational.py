@@ -173,13 +173,14 @@ def order_priority_counts(sf_dir: str):
             .aggregate([("o_orderpriority", "count")])
         )
 
-    from ray.data.aggregate import Sum
+    from .util import fold_bounded
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_orderpriority")
-        .aggregate(Sum("o_orderpriority_count", alias_name="order_count"))
-        .sort("o_orderpriority")
+    out = fold_bounded(
+        ds.map_batches(partial, batch_format="pyarrow"), ["o_orderpriority"]
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(["o_orderpriority", "order_count"]),
+        batch_format="pyarrow",
     )
 
 
@@ -257,22 +258,22 @@ def customer_nation_revenue(sf_dir: str):
             {"revenue": g["revenue"].sum(), "n_orders": g["n_orders"].sum()}
         ).reset_index()
 
-    out = (
-        joined.map_batches(to_nation, batch_format="pandas")
-        .groupby("n_name")
-        .aggregate(
-            Sum("revenue", alias_name="total_revenue"),
-            Sum("n_orders", alias_name="order_count"),
-        )
+    from .util import fold_bounded
+
+    out = fold_bounded(
+        joined.map_batches(to_nation, batch_format="pandas"), ["n_name"]
     )
-    return out.map_batches(
-        lambda b: b.set_column(
-            b.schema.get_field_index("total_revenue"),
-            "total_revenue",
-            pc.round(b["total_revenue"], ndigits=2),
-        ),
-        batch_format="pyarrow",
-    ).sort("n_name")
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": b["n_name"],
+                "total_revenue": pc.round(b["revenue"], ndigits=2),
+                "order_count": b["n_orders"],
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
 
 
 def part_type_stats(sf_dir: str):
@@ -289,28 +290,33 @@ def part_type_stats(sf_dir: str):
             ]
         )
 
-    from ray.data.aggregate import Max, Min, Sum
+    from .util import fold_bounded
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("p_type")
-        .aggregate(
-            Sum("p_retailprice_sum", alias_name="price_sum"),
-            Sum("p_retailprice_count", alias_name="n_parts"),
-            Min("p_size_min", alias_name="min_size"),
-            Max("p_size_max", alias_name="max_size"),
-        )
+    out = fold_bounded(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["p_type"],
+        aggs={"p_size_min": "min", "p_size_max": "max"},
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
         avg = pc.round(
-            pc.divide(batch["price_sum"], pc.cast(batch["n_parts"], pa.float64())),
+            pc.divide(
+                batch["p_retailprice_sum"],
+                pc.cast(batch["p_retailprice_count"], pa.float64()),
+            ),
             ndigits=2,
         )
-        batch = batch.append_column("avg_price", avg)
-        return batch.drop_columns(["price_sum"])
+        return pa.table(
+            {
+                "p_type": batch["p_type"],
+                "n_parts": batch["p_retailprice_count"],
+                "min_size": batch["p_size_min"],
+                "max_size": batch["p_size_max"],
+                "avg_price": avg,
+            }
+        )
 
-    return out.map_batches(finalize, batch_format="pyarrow").sort("p_type")
+    return out.map_batches(finalize, batch_format="pyarrow")
 
 
 def events_tumbling_window(sf_dir: str, window_s: int = 3600):

@@ -735,13 +735,12 @@ def lang_distribution(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         return batch.group_by(["lang"]).aggregate([("lang", "count")])
 
-    from ray.data.aggregate import Sum
+    from .util import fold_bounded
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("lang")
-        .aggregate(Sum("lang_count", alias_name="n_docs"))
-        .sort("lang")
+    return fold_bounded(
+        ds.map_batches(partial, batch_format="pyarrow"), ["lang"]
+    ).map_batches(
+        lambda b: b.rename_columns(["lang", "n_docs"]), batch_format="pyarrow"
     )
 
 

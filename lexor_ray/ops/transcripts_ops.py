@@ -286,13 +286,12 @@ def role_distribution(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         return batch.group_by(["role"]).aggregate([("role", "count")])
 
-    from ray.data.aggregate import Sum
+    from .util import fold_bounded
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("role")
-        .aggregate(Sum("role_count", alias_name="n_turns"))
-        .sort("role")
+    return fold_bounded(
+        ds.map_batches(partial, batch_format="pyarrow"), ["role"]
+    ).map_batches(
+        lambda b: b.rename_columns(["role", "n_turns"]), batch_format="pyarrow"
     )
 
 

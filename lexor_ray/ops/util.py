@@ -260,7 +260,7 @@ def sql_source(table_or_path: str) -> str:
     return table_or_path
 
 
-def fold_bounded(parts, keys: list[str], fan_in: int = 16):
+def fold_bounded(parts, keys: list[str], fan_in: int = 16, aggs: dict | None = None):
     """Two-level arrow fold for KEY-BOUNDED partial aggregates —
     replaces ``groupby().aggregate(Sum...)`` + a trailing
     ``Dataset.sort`` when the key domain is small and data-independent
@@ -273,14 +273,21 @@ def fold_bounded(parts, keys: list[str], fan_in: int = 16):
     coalesced partitions; level 2 folds those in ONE task and returns
     the table sorted by ``keys``. Level-2 input is ≤ #keys × fan_in
     rows — callers assert key-boundedness by choosing this helper; for
-    unbounded keys use a real keyed shuffle (``coarse_apply``)."""
+    unbounded keys use a real keyed shuffle (``coarse_apply``).
+
+    ``aggs`` maps a value column to its reassociative fold kernel
+    (``"sum" | "min" | "max"``; default ``"sum"`` for every non-key
+    column) — the SAME kernel applies at both levels, which is exactly
+    why only reassociative aggregates are allowed here."""
     import pyarrow as pa
 
     def combine(t: pa.Table) -> pa.Table:
         vals = [c for c in t.column_names if c not in keys]
-        agg = t.group_by(keys).aggregate([(c, "sum") for c in vals])
+        kind = {c: (aggs or {}).get(c, "sum") for c in vals}
+        agg = t.group_by(keys).aggregate([(c, kind[c]) for c in vals])
         return pa.table(
-            {k: agg[k] for k in keys} | {c: agg[f"{c}_sum"] for c in vals}
+            {k: agg[k] for k in keys}
+            | {c: agg[f"{c}_{kind[c]}"] for c in vals}
         )
 
     lvl1 = parts.repartition(fan_in).map_batches(combine, batch_format="pyarrow")
