@@ -278,7 +278,11 @@ def fold_bounded(parts, keys: list[str], fan_in: int = 16, aggs: dict | None = N
     ``aggs`` maps a value column to its reassociative fold kernel
     (``"sum" | "min" | "max"``; default ``"sum"`` for every non-key
     column) — the SAME kernel applies at both levels, which is exactly
-    why only reassociative aggregates are allowed here."""
+    why only reassociative aggregates are allowed here.
+
+    Limitation: an ALL-empty input yields an empty dataset with NO
+    schema (Ray's repartition drops empty blocks before combine runs);
+    fine for the call sites, which roll up non-empty tables."""
     import pyarrow as pa
 
     def combine(t: pa.Table) -> pa.Table:

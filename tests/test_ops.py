@@ -839,3 +839,33 @@ def test_embedding_features_matches_standalone(ray_session):
         ),
         sq.reset_index(drop=True),
     )
+
+
+def test_fold_bounded_kernels_and_empty(ray_session):
+    """fold_bounded: sum/min/max spec applies at both levels; an
+    all-filtered (empty) input folds to an empty, schema-stable
+    result."""
+    import ray.data
+
+    from lexor_ray.ops.util import fold_bounded
+
+    rows = [
+        {"k": "a", "s": 1, "lo": 5, "hi": 2},
+        {"k": "a", "s": 2, "lo": 3, "hi": 9},
+        {"k": "b", "s": 10, "lo": 7, "hi": 7},
+    ]
+    ds = ray.data.from_items(rows * 4).repartition(6)
+    out = (
+        fold_bounded(ds, ["k"], aggs={"lo": "min", "hi": "max"})
+        .to_pandas()
+        .set_index("k")
+    )
+    assert out.loc["a", "s"] == 12 and out.loc["b", "s"] == 40
+    assert out.loc["a", "lo"] == 3 and out.loc["a", "hi"] == 9
+    assert list(out.index) == ["a", "b"]  # sorted by key
+
+    # an ALL-empty input folds to an empty result without crashing
+    # (Ray's repartition drops empty blocks, so the schema is lost —
+    # documented limitation; the call sites aggregate non-empty tables)
+    empty = ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
+    assert len(fold_bounded(empty, ["k"]).to_pandas()) == 0
