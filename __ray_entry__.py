@@ -225,6 +225,9 @@ def oracle_sql() -> dict[str, str]:
     from lexor_ray.ops.packing import (
         pack_sequences_oracle_sql as _pack_oracle,
     )
+    from lexor_ray.ops.decontam import (
+        decontaminate_oracle_sql as _decontam_oracle,
+    )
 
     return {
         # the FLAGSHIP, fully golden-gated: per-turn extracted text,
@@ -644,18 +647,7 @@ def oracle_sql() -> dict[str, str]:
         # donates chars [10, 50) as its snippet; a LEFT JOIN on
         # substring containment reproduces the broadcast check exactly
         # (integer hit counts — no float concerns)
-        "decontaminate": """
-            WITH b AS (
-                SELECT doc_id AS bench_id, substr(text, 11, 40) AS snip
-                FROM documents
-                WHERE doc_id % 97 = 0 AND length(text) >= 50
-            )
-            SELECT d.doc_id,
-                   CAST(count(b.bench_id) AS BIGINT) AS n_bench_hits,
-                   count(b.bench_id) > 0 AS contaminated
-            FROM documents d LEFT JOIN b ON position(b.snip IN d.text) > 0
-            GROUP BY d.doc_id ORDER BY d.doc_id
-        """,
+        "decontaminate": _decontam_oracle("documents"),
         "brute_force_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qe

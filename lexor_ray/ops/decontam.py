@@ -1,6 +1,8 @@
-"""Benchmark decontamination — flag training documents that contain a
-verbatim snippet of any held-out benchmark document (the CCNet /
-GPT-3-style 40-char-substring contamination check).
+"""Benchmark decontamination — flag training documents that overlap a
+held-out benchmark, in TWO tiers emitted by one scan: (a) verbatim
+40-char-snippet containment (the CCNet-style check) and (b) word-
+13-gram collision (GPT-3 appendix C), which catches partial overlaps
+outside the snippet window.
 
 Shape at 100 TB: the benchmark side is SMALL by construction (a fixed
 eval suite — thousands of snippets, not a data-scale table), so it is
@@ -90,15 +92,17 @@ def benchmark_snippets(sf_dir: str) -> list[str]:
 
 
 class ContaminationChecker:
-    """Per-worker broadcast state: the snippet list fetched once from
-    the object store (ray.put'd by the driver, not re-shipped per
-    batch)."""
+    """Per-worker broadcast state: the snippet list AND the benchmark
+    13-gram index, fetched once from the object store (ray.put'd by
+    the driver, not re-shipped per batch). One scan emits both tiers'
+    verdicts."""
 
-    def __init__(self, snips_ref) -> None:
+    def __init__(self, snips_ref, grams_ref) -> None:
         import ray
 
         self.ref = snips_ref
         self.snips = ray.get(snips_ref)
+        self.grams = pd.Index(ray.get(grams_ref))
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch["text"].fillna("")
@@ -107,11 +111,22 @@ class ContaminationChecker:
             hits += texts.str.contains(snip, regex=False).to_numpy(
                 dtype=np.int64
             )
+        # n-gram tier: count each document's DISTINCT colliding grams
+        r, g = _word_ngrams(texts, NGRAM_N)
+        ghits = np.zeros(len(texts), dtype=np.int64)
+        if len(g):
+            dfg = pd.DataFrame({"r": r, "g": g}).drop_duplicates()
+            m = self.grams.get_indexer(dfg["g"].to_numpy()) >= 0
+            ghits = np.bincount(
+                dfg["r"].to_numpy(np.int64)[m], minlength=len(texts)
+            ).astype(np.int64)
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].astype("int64"),
                 "n_bench_hits": hits,
                 "contaminated": hits > 0,
+                "n_gram_hits": ghits,
+                "contaminated_ngram": ghits > 0,
             }
         )
 
@@ -126,6 +141,7 @@ def decontaminate(sf_dir: str):
     import ray
 
     snips_ref = ray.put(benchmark_snippets(sf_dir))
+    grams_ref = ray.put(benchmark_ngrams(sf_dir))
     ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
     def check(batch: pd.DataFrame) -> pd.DataFrame:
@@ -137,8 +153,119 @@ def decontaminate(sf_dir: str):
         inst = _WORKER_CACHE.get("contam-checker")
         if inst is None or inst.ref != snips_ref:
             inst = _WORKER_CACHE["contam-checker"] = ContaminationChecker(
-                snips_ref
+                snips_ref, grams_ref
             )
         return inst(batch)
 
     return ds.map_batches(check, batch_format="pandas").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# n-gram collision tier (GPT-3 appendix C: word-13-gram overlap with
+# the benchmark — catches paraphrase-adjacent and partial overlaps the
+# 40-char verbatim tier misses, e.g. a contaminated doc that rewrapped
+# whitespace outside the snippet window).
+
+NGRAM_N = 13
+
+
+def _word_ngrams(texts: pd.Series, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(row_idx, gram) arrays of every word n-gram (space-joined
+    strings, so the DuckDB replay is exact) — the shifted-array concat
+    trick, no per-document Python loop."""
+    words = texts.str.split()
+    nw = words.map(len).to_numpy(np.int64)
+    flat = (
+        np.concatenate([np.asarray(w, dtype=object) for w in words])
+        if len(words)
+        else np.empty(0, dtype=object)
+    )
+    row_of = np.repeat(np.arange(len(texts)), nw)
+    W = len(flat)
+    if W < n:
+        return np.empty(0, np.int64), np.empty(0, dtype=object)
+    valid = row_of[: W - n + 1] == row_of[n - 1 :]
+    g = flat[: W - n + 1][valid]
+    for j in range(1, n):
+        g = g + " " + flat[j : W - n + 1 + j][valid]
+    return row_of[: W - n + 1][valid], g
+
+
+def benchmark_ngrams(sf_dir: str) -> list[str]:
+    """The n-gram small side: every DISTINCT word-13-gram of every
+    benchmark document. Bounded by suite size × words/doc (the same
+    ``MAX_SNIPPETS``-scaled refusal guards the broadcast), never by
+    the corpus."""
+    ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pick(batch: pd.DataFrame) -> "pa.Table":  # noqa: F821
+        import pyarrow as pa
+
+        sel = batch.loc[batch["doc_id"] % BENCH_MOD == 0]
+        _, g = _word_ngrams(sel["text"].fillna(""), NGRAM_N)
+        return pa.table({"g": pa.array(np.unique(g).tolist(), pa.string())})
+
+    rows = ds.map_batches(pick, batch_format="pandas").take_all()
+    grams = sorted({r["g"] for r in rows})
+    if len(grams) > MAX_SNIPPETS * 100:
+        raise ValueError(
+            f"derived benchmark n-gram set has {len(grams)} grams; "
+            "the broadcast tier requires an eval-suite-sized benchmark"
+        )
+    return grams
+
+
+def decontaminate_oracle_sql(source: str) -> str:
+    """DuckDB replay of BOTH tiers: the verbatim-snippet LEFT JOIN and
+    the distinct word-13-gram collision join (grams built with the
+    same whitespace tokenization as everywhere else). Shared by
+    __ray_entry__ and tests."""
+    from .util import sql_source
+
+    src = sql_source(source)
+    gram_expr = " || ' ' || ".join(f"w[i+{j}]" for j in range(NGRAM_N))
+    words = (
+        "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' "
+        "THEN CAST([] AS VARCHAR[]) ELSE string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END"
+    )
+    return f"""
+        WITH b AS (
+            SELECT doc_id AS bench_id,
+                   substr(text, {SNIP_START + 1}, {SNIP_LEN}) AS snip
+            FROM {src}
+            WHERE doc_id % {BENCH_MOD} = 0
+              AND length(text) >= {MIN_DOC_CHARS}
+        ), v AS (
+            SELECT d.doc_id,
+                   CAST(count(b.bench_id) AS BIGINT) AS n_bench_hits,
+                   count(b.bench_id) > 0 AS contaminated
+            FROM {src} d LEFT JOIN b ON position(b.snip IN d.text) > 0
+            GROUP BY d.doc_id
+        ), bw AS (
+            SELECT {words} AS w FROM {src}
+            WHERE doc_id % {BENCH_MOD} = 0
+        ), bg AS (
+            SELECT DISTINCT unnest(
+                CASE WHEN len(w) < {NGRAM_N} THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(range(1, len(w) - {NGRAM_N - 2}),
+                                         i -> {gram_expr}) END) AS g
+            FROM bw
+        ), dw AS (
+            SELECT doc_id, {words} AS w FROM {src}
+        ), dg AS (
+            SELECT DISTINCT doc_id, unnest(
+                CASE WHEN len(w) < {NGRAM_N} THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(range(1, len(w) - {NGRAM_N - 2}),
+                                         i -> {gram_expr}) END) AS g
+            FROM dw
+        ), gh AS (
+            SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_gram_hits
+            FROM dg JOIN bg USING (g) GROUP BY dg.doc_id
+        )
+        SELECT v.doc_id, v.n_bench_hits, v.contaminated,
+               coalesce(gh.n_gram_hits, 0) AS n_gram_hits,
+               coalesce(gh.n_gram_hits, 0) > 0 AS contaminated_ngram
+        FROM v LEFT JOIN gh ON v.doc_id = gh.doc_id
+        ORDER BY v.doc_id
+    """

@@ -869,3 +869,41 @@ def test_fold_bounded_kernels_and_empty(ray_session):
     # documented limitation; the call sites aggregate non-empty tables)
     empty = ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
     assert len(fold_bounded(empty, ["k"]).to_pandas()) == 0
+
+
+def test_decontaminate_ngram_tier_planted(ray_session, tmp_path):
+    """A doc sharing 13+ consecutive words with a benchmark donor but
+    NOT the donor's 40-char snippet window is caught by the n-gram
+    tier only; an unrelated doc passes both tiers. Both tiers replay
+    exactly in DuckDB."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lexor_ray.ops.decontam import decontaminate, decontaminate_oracle_sql
+
+    donor_words = [f"w{i:02d}" for i in range(40)]
+    donor = " ".join(donor_words)  # doc_id 0 → % 97 == 0 → benchmark
+    # copies words 20..35 (16 consecutive words), which live past the
+    # 40-char snippet window [10, 50) of the donor text
+    overlap = "intro words then " + " ".join(donor_words[20:36]) + " outro"
+    clean = " ".join(f"z{i:02d}" for i in range(40))
+    rows = [
+        {"doc_id": 0, "text": donor},
+        {"doc_id": 1, "text": overlap},
+        {"doc_id": 2, "text": clean},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    got = decontaminate(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert bool(got.loc[0, "contaminated"])  # the donor contains itself
+    assert not got.loc[1, "contaminated"]  # verbatim tier misses it
+    assert bool(got.loc[1, "contaminated_ngram"])  # n-gram tier catches
+    assert not got.loc[2, "contaminated"]
+    assert not got.loc[2, "contaminated_ngram"]
+    con = duckdb.connect()
+    want = con.sql(
+        decontaminate_oracle_sql(str(tmp_path / "documents.parquet"))
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(), want, check_dtype=False
+    )
