@@ -144,6 +144,20 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
     timed("bloom_dedup", lambda: bloom.bloom_dedup(sf_dir).to_pandas())
 
+    from lexor_ray.ops import sketch
+
+    timed(
+        "gopher_quality", lambda: textstats.gopher_quality(sf_dir).to_pandas()
+    )
+    timed(
+        "heavy_hitter_terms",
+        lambda: sketch.heavy_hitter_terms(sf_dir).to_pandas(),
+    )
+    timed(
+        "embedding_features",
+        lambda: similarity.embedding_features(sf_dir).to_pandas(),
+    )
+
     # round-comparable BIG headline: the sf0.1 input (100k turns) is
     # startup-dominated (~1.5 s wall for ~0.15 s of extraction work),
     # so round-over-round deltas on it measure Ray session warmup, not
