@@ -565,8 +565,9 @@ def semdedup(
 def _sq8_stats(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """Per-dimension global (min, max) over the embeddings table:
     per-batch vectorized partials (one row per block: the block's
-    elementwise min/max), then a bounded driver fold — collected state
-    is 2 × dim floats × n_blocks, never the vectors."""
+    elementwise min/max) folded in a distributed TREE (fan-in stage,
+    then one final task) — the driver collects exactly one row, never
+    a per-block list (at 100 TB that list is millions of rows)."""
     ds = tbl(sf_dir, "embeddings", columns=["embedding"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -580,10 +581,25 @@ def _sq8_stats(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
             {"mn": [arr.min(axis=0).tolist()], "mx": [arr.max(axis=0).tolist()]}
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    mn = np.asarray(parts["mn"].tolist(), dtype=np.float64).min(axis=0)
-    mx = np.asarray(parts["mx"].tolist(), dtype=np.float64).max(axis=0)
-    return mn, mx
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        mn = np.asarray(t["mn"].to_pylist(), dtype=np.float64).min(axis=0)
+        mx = np.asarray(t["mx"].to_pylist(), dtype=np.float64).max(axis=0)
+        return pa.table({"mn": [mn.tolist()], "mx": [mx.tolist()]})
+
+    row = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(16)
+        .map_batches(combine, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow")
+        .take_all()
+    )[0]
+    return (
+        np.asarray(row["mn"], dtype=np.float64),
+        np.asarray(row["mx"], dtype=np.float64),
+    )
 
 
 def _sq8_codes(emb: np.ndarray, mn: np.ndarray, mx: np.ndarray) -> np.ndarray:

@@ -229,12 +229,13 @@ def _cms_rows(h: np.ndarray, w: int) -> np.ndarray:
 def cms_heavy_hitters(sf_dir: str, k: int = 20, w: int = 1 << 13, cand: int = 64):
     """Count-Min-Sketch heavy hitters — the bounded-memory scale tier:
     each batch emits ONE row (its d×w counter matrix + its local
-    top-``cand`` candidate terms); the driver folds the matrices
-    (collected state = d·w ints per block, never the vocabulary) and
-    ranks the candidate union by the CMS min-estimate. Estimates only
-    ever OVERCOUNT (collision bias), so a true heavy hitter cannot be
-    pushed out by undercounting; tested against
-    :func:`heavy_hitter_terms` plus the overestimate property."""
+    top-``cand`` candidate terms); a distributed TREE FOLD sums the
+    matrices and unions the candidates (the driver collects exactly
+    one folded row), then ranks the candidate union by the CMS
+    min-estimate. Estimates only ever OVERCOUNT (collision bias), so a
+    true heavy hitter cannot be pushed out by undercounting; tested
+    against :func:`heavy_hitter_terms` plus the overestimate
+    property."""
     d = len(_CMS_SEEDS)
     ds = tbl(sf_dir, "documents", columns=["text"])
 
@@ -260,13 +261,34 @@ def cms_heavy_hitters(sf_dir: str, k: int = 20, w: int = 1 << 13, cand: int = 64
             }
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    total = np.zeros((d, w), dtype=np.int64)
-    cand_terms: set = set()
-    for _, row in parts.iterrows():
-        total += np.asarray(row["cms"], dtype=np.int64).reshape(d, w)
-        cand_terms.update(row["cand_terms"])
-    terms = np.asarray(sorted(cand_terms), dtype=object)
+    def combine(t: pa.Table) -> pa.Table:
+        """Tree-fold stage: sum the CMS matrices, union the candidate
+        lists — the driver collects ONE folded row, never a per-block
+        list (at 100 TB that list is millions of d×w payloads)."""
+        if t.num_rows == 0:
+            return t
+        summed = np.zeros(d * w, dtype=np.int64)
+        cands: set = set()
+        for row in t.to_pylist():
+            summed += np.asarray(row["cms"], dtype=np.int64)
+            cands.update(row["cand_terms"])
+        return pa.table(
+            {
+                "cms": pa.array([summed.tolist()], pa.list_(pa.int64())),
+                "cand_terms": pa.array([sorted(cands)], pa.list_(pa.string())),
+            }
+        )
+
+    row = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(16)
+        .map_batches(combine, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow")
+        .take_all()
+    )[0]
+    total = np.asarray(row["cms"], dtype=np.int64).reshape(d, w)
+    terms = np.asarray(sorted(row["cand_terms"]), dtype=object)
     if len(terms) == 0:
         return pd.DataFrame({"rank": [], "term": [], "est_count": []})
     h = pd.util.hash_array(terms).astype(np.uint64)
