@@ -64,8 +64,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     sets),
     events_tumbling_window+events_sliding_window → events_windows
     (tagged union, still oracle-checked),
-    distinct_users_per_event_type+approx_distinct_users → one entry
-    with BOTH the exact and the HLL column (bounded ≤k-row merge),
+    distinct_users_per_event_type+approx_distinct_users+
+    value_quantile_sketch → event_type_sketches (exact distinct, HLL
+    estimate and value quantiles in one bounded ≤k-row merge),
     c4_clean+span_dedup_docs+passage_dedup_docs+mixture_weights+
     bloom_dedup → curation_docs (one wide oracle-checked per-doc row
     joining all five curation operators on doc_id)."""
@@ -124,7 +125,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversation_documents": relational.conversation_documents,
         "top_events_per_user": relational.top_events_per_user,
         "customers_without_orders": relational.customers_without_orders,
-        "distinct_users_per_event_type": sketch.distinct_users_exact_and_sketch,
+        # per-event_type sketch family: exact COUNT(DISTINCT) + HLL +
+        # the value-quantile sketch (exact-histogram tier == DuckDB
+        # quantile_disc at every driver sf; the reservoir scale tier is
+        # rank-error tested in pytest)
+        "event_type_sketches": sketch.event_type_sketches,
         "top_customers_by_balance": relational.top_customers_by_balance,
         "lineitem_distinct_flags": relational.lineitem_distinct_flags,
         # dedup family (minhash_dedup and dedup_clusters gained exact
@@ -450,10 +455,15 @@ def oracle_sql() -> dict[str, str]:
         # HLL++-style sparse tier is an exact distinct count until
         # SPARSE_MAX; the register (±1.6%) tier only engages beyond it
         # (unit-tested separately)
-        "distinct_users_per_event_type": """
+        "event_type_sketches": """
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-                   CAST(count(DISTINCT user_id) AS BIGINT) AS approx_users
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS approx_users,
+                   quantile_disc(value, 0.25) AS q25,
+                   quantile_disc(value, 0.5) AS q50,
+                   quantile_disc(value, 0.75) AS q75,
+                   quantile_disc(value, 0.9) AS q90,
+                   quantile_disc(value, 0.99) AS q99
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "events_sessionize": """

@@ -304,3 +304,115 @@ def cms_heavy_hitters(sf_dir: str, k: int = 20, w: int = 1 << 13, cand: int = 64
             "est_count": est[order],
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch: per-key value quantiles with an EXACT sparse tier
+# (the HLL++ pattern applied to quantiles): below a distinct-value
+# budget the mergeable state is the exact (value, count) histogram and
+# the quantiles are exact (= DuckDB quantile_disc); beyond it the
+# sketch degrades to a deterministic min-hash reservoir (the k events
+# with the smallest splitmix64(event_id) — a uniform, mergeable,
+# layout-independent sample) with rank-error tested in pytest.
+
+#: distinct values per key before the histogram degrades to a
+#: reservoir (2^16 × 16 B = 1 MiB per key worst case, bounded).
+Q_SPARSE_MAX = 1 << 16
+#: reservoir size of the degraded tier.
+Q_RESERVOIR = 1024
+#: the recorded quantiles and their column names.
+QS = ((0.25, "q25"), (0.5, "q50"), (0.75, "q75"), (0.9, "q90"), (0.99, "q99"))
+
+
+def _disc_quantiles(v_sorted: np.ndarray, weights: np.ndarray) -> list[float]:
+    """Discrete quantiles of a weighted sorted multiset: element at
+    1-based rank ``ceil(q·n)`` — DuckDB's ``quantile_disc`` convention
+    (probed across n ∈ {4,5,7,10} × five quantiles)."""
+    cum = np.cumsum(weights)
+    n = int(cum[-1])
+    out = []
+    for q, _ in QS:
+        rank = max(1, int(np.ceil(q * n)))  # 1-based
+        out.append(float(v_sorted[np.searchsorted(cum, rank)]))
+    return out
+
+
+def value_quantile_sketch(sf_dir: str, sparse_max: int = Q_SPARSE_MAX):
+    """Per-event_type quantiles of ``value`` via mergeable sketches:
+    one payload per (key, batch) — the batch's exact (value, count)
+    histogram plus its min-hash reservoir — merged per key. All-sparse
+    unions under ``Q_SPARSE_MAX`` distinct values give EXACT
+    ``quantile_disc`` answers (the oracle-checked regime at every
+    driver sf); oversized unions fall back to the merged reservoir
+    (±rank-error tested)."""
+    from .sampling import splitmix64
+
+    ds = tbl(sf_dir, "events", columns=["event_type", "event_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rows = []
+        for k, sub in df.groupby("event_type", sort=False):
+            vc = sub["value"].value_counts()
+            h = splitmix64(sub["event_id"].to_numpy().astype(np.uint64))
+            order = np.argsort(h)[:Q_RESERVOIR]
+            rows.append(
+                {
+                    "event_type": k,
+                    "vals": vc.index.to_numpy(np.float64).tolist(),
+                    "cnts": vc.to_numpy(np.int64).tolist(),
+                    "res_h": h[order].astype(np.int64).tolist(),
+                    "res_v": sub["value"].to_numpy(np.float64)[order].tolist(),
+                }
+            )
+        return pa.Table.from_pylist(rows) if rows else pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "vals": pa.array([], pa.list_(pa.float64())),
+                "cnts": pa.array([], pa.list_(pa.int64())),
+                "res_h": pa.array([], pa.list_(pa.int64())),
+                "res_v": pa.array([], pa.list_(pa.float64())),
+            }
+        )
+
+    sketches = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        vals = np.concatenate([np.asarray(x, np.float64) for x in g["vals"]])
+        cnts = np.concatenate([np.asarray(x, np.int64) for x in g["cnts"]])
+        hist = pd.Series(cnts).groupby(pd.Series(vals)).sum()
+        if len(hist) <= sparse_max:
+            v_sorted = hist.index.to_numpy(np.float64)  # groupby sorts keys
+            qs = _disc_quantiles(v_sorted, hist.to_numpy(np.int64))
+            mode = "exact"
+        else:
+            h = np.concatenate([np.asarray(x, np.int64) for x in g["res_h"]])
+            v = np.concatenate([np.asarray(x, np.float64) for x in g["res_v"]])
+            keep = np.argsort(h.astype(np.uint64))[:Q_RESERVOIR]
+            sample = np.sort(v[keep])
+            qs = _disc_quantiles(sample, np.ones(len(sample), np.int64))
+            mode = "reservoir"
+        row = {"event_type": [g["event_type"].iloc[0]], "mode": [mode]}
+        for (_, name), val in zip(QS, qs):
+            row[name] = [val]
+        return pd.DataFrame(row)
+
+    return (
+        sketches.groupby("event_type").map_groups(merge, batch_format="pandas")
+        .sort("event_type")
+    )
+
+
+def event_type_sketches(sf_dir: str):
+    """Recording fusion of the three per-event_type sketch families
+    (each stays first-class): exact COUNT(DISTINCT) + the HLL estimate
+    + the value-quantile sketch — ``(event_type, n_users,
+    approx_users, q25..q99)``. All branches produce ≤|event_type|
+    rows, so the driver-side merge is a bounded tiny-table join. The
+    sketch tiers are exact at every driver sf (HLL sparse,
+    quantile-histogram sparse), making the whole row SQL-checkable."""
+    base = distinct_users_exact_and_sketch(sf_dir)
+    quant = value_quantile_sketch(sf_dir).to_pandas().drop(columns=["mode"])
+    return base.merge(quant, on="event_type").sort_values(
+        "event_type", ignore_index=True
+    )

@@ -118,3 +118,42 @@ def test_cms_heavy_hitters_planted_skew(ray_session, tmp_path):
     got = cms_heavy_hitters(str(tmp_path), k=3)
     assert list(got["term"]) == ["hot0", "hot1", "hot2"]
     assert got["est_count"].iloc[0] >= 200 * 50
+
+
+def test_value_quantile_reservoir_tier(ray_session, tmp_path):
+    """Forcing the degraded tier (tiny sparse budget): reservoir
+    quantile estimates stay within a small rank error of the exact
+    answer, and the exact tier reproduces quantile_disc."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lexor_ray.ops.sketch import value_quantile_sketch
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    vals = np.round(rng.standard_normal(n) * 100, 6)  # ~all distinct
+    rows = [
+        {"event_id": i, "event_type": "t", "value": float(vals[i])}
+        for i in range(n)
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "events.parquet"))
+
+    exact = value_quantile_sketch(str(tmp_path)).to_pandas().iloc[0]
+    assert exact["mode"] == "exact"
+    con = duckdb.connect()
+    want = con.sql(
+        f"""SELECT quantile_disc(value, 0.5) AS q50,
+                   quantile_disc(value, 0.99) AS q99
+            FROM read_parquet('{tmp_path}/events.parquet')"""
+    ).df().iloc[0]
+    assert exact["q50"] == want["q50"] and exact["q99"] == want["q99"]
+
+    approx = (
+        value_quantile_sketch(str(tmp_path), sparse_max=64).to_pandas().iloc[0]
+    )
+    assert approx["mode"] == "reservoir"
+    sorted_vals = np.sort(vals)
+    for q, col in [(0.25, "q25"), (0.5, "q50"), (0.75, "q75"), (0.9, "q90")]:
+        est_rank = np.searchsorted(sorted_vals, approx[col]) / n
+        assert abs(est_rank - q) < 0.06, (col, est_rank)
