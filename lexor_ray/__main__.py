@@ -197,6 +197,116 @@ def document_dialect(name: str) -> str:
     return "\n".join(lines)
 
 
+_STYLE_TEMPLATE = '''\
+"""{name} — a lexor_ray style module (scaffolded).
+
+Register node parsers for your grammar and (optionally) converter /
+writer rules. Install with `python -m lexor_ray --install {name}.py`
+or put it on $LEXOR_RAY_STYLE_PATH.
+
+MSG examples (run by test_{name}.py):
+
+    Okay: plain text
+    E100: {open_tok}note{close_brace}unclosed
+"""
+
+import re
+
+from lexor_ray.core.dom import Element
+from lexor_ray.core.parser import NodeParser
+from lexor_ray.dialects.registry import ConvertRule, Dialect
+
+_OPEN = re.compile(r"@\\{{([A-Za-z][A-Za-z0-9_-]*)\\}}")
+
+
+class {cls}NodeParser(NodeParser):
+    """`@{{name}}` opens a node; `@@` closes the innermost one —
+    replace with your grammar. Unclosed nodes log E100 at EOF and
+    early outer closes cascade W100 (engine-provided semantics)."""
+
+    def make_node(self):
+        p = self.parser
+        m = _OPEN.match(p.text, p.caret)
+        if m is None:
+            return None
+        node = Element(m.group(1))
+        node.span = (p.caret, m.end())
+        node.pos = p.copy_pos()
+        p.update(m.end())
+        return node
+
+    def close(self, node):
+        p = self.parser
+        if p.text.startswith("@@", p.caret) and not _OPEN.match(p.text, p.caret):
+            pos = p.copy_pos()
+            p.update(p.caret + 2)
+            return pos
+        return None
+
+
+DIALECT = Dialect(
+    # "<lang>-text" naming: `--to text --lang {name}` resolves the
+    # dialect as f"{{lang}}-text" (the lexor-text precedent)
+    name="{name}-text",
+    lang="{name}",
+    parser_mapping={{"__default__": ("@", [{cls}NodeParser])}},
+    converters={{"__default__": ConvertRule()}},
+    close_prefix="@@",
+)
+'''
+
+_TEST_TEMPLATE = '''\
+"""Conformance tests for the {name} style (scaffolded)."""
+
+from lexor_ray.dialects.registry import load_style_file
+from lexor_ray.testing import assert_msg_examples, parse_write_roundtrip
+
+load_style_file(__file__.replace("test_", "", 1))
+
+
+def test_msg_examples():
+    # replays every `Okay:` / `E100:` example in the module docstring
+    import {name}  # noqa: F401  (registered by load_style_file above)
+
+    assert_msg_examples(
+        "{name}-text",
+        open({name_file!r}).read(),
+    )
+
+
+def test_roundtrip():
+    assert "hello" in parse_write_roundtrip("@{{b}}hello@@", "{name}-text")
+'''
+
+
+def scaffold_style(name: str, out_dir: str) -> list[str]:
+    """Write ``NAME.py`` + ``test_NAME.py`` skeletons — the
+    reference's `paste` command semantics (template instantiation,
+    ``lexor/command/paste.py:46-125``), re-expressed for the Dialect
+    contract. Returns the written paths; refuses to overwrite."""
+    import os
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(f"style name must be a Python identifier: {name!r}")
+    os.makedirs(out_dir, exist_ok=True)
+    style = os.path.join(out_dir, f"{name}.py")
+    test = os.path.join(out_dir, f"test_{name}.py")
+    for p in (style, test):
+        if os.path.exists(p):
+            raise FileExistsError(p)
+    cls = name.title().replace("_", "")
+    with open(style, "w") as fh:
+        fh.write(
+            _STYLE_TEMPLATE.format(
+                name=name, cls=cls, open_tok="@{", close_brace="}"
+            )
+        )
+    with open(test, "w") as fh:
+        fh.write(_TEST_TEMPLATE.format(name=name, name_file=style))
+    return [style, test]
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="lexor_ray", description=__doc__)
     ap.add_argument("src", nargs="?", help="input file ('-' for stdin)")
@@ -259,6 +369,17 @@ def main(argv=None) -> int:
         help="open output files in append mode (the reference "
         "Writer.write(filename, mode='a') option, core/writer.py:355)",
     )
+    ap.add_argument(
+        "--scaffold",
+        metavar="NAME",
+        help="write a new style-module skeleton NAME.py plus its "
+        "test_NAME.py into --out-dir (default .) — the reference's "
+        "`lexor paste` template instantiation "
+        "(lexor/command/paste.py:46-125; templates under "
+        "lexor/core/templates/). The skeleton registers a working "
+        "dialect (text passthrough + one node parser stub) and the "
+        "test uses lexor_ray.testing's Okay:/code conformance runner.",
+    )
     ap.add_argument("--table", help="transcripts parquet dir (distributed mode)")
     ap.add_argument("--out", help="output dir for --table mode")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -288,6 +409,11 @@ def main(argv=None) -> int:
         from .dialects.registry import install_style
 
         print(install_style(args.install))
+        return 0
+
+    if args.scaffold:
+        for p in scaffold_style(args.scaffold, args.out_dir or "."):
+            print(p)
         return 0
 
     if args.document:

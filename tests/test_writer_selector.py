@@ -95,3 +95,23 @@ def test_remove_matching_drops_subtree():
 
     text, _ = TextSpanWriter.write(doc)
     assert text == "keep"
+
+
+def test_scaffold_style_generates_working_dialect(tmp_path):
+    """The `--scaffold` skeleton (reference `lexor paste` semantics)
+    loads, registers, parses its own grammar, and its MSG examples
+    conform."""
+    from lexor_ray.__main__ import convert_one, scaffold_style
+    from lexor_ray.dialects.registry import load_style_file
+    from lexor_ray.testing import assert_msg_examples
+
+    style, test = scaffold_style("demo_style", str(tmp_path))
+    dialects = load_style_file(style)
+    assert dialects[0].name == "demo_style-text"
+    out = convert_one("@{b}hello@@ world", to="text", lang="demo_style")
+    assert "hello" in out and "world" in out
+    assert_msg_examples("demo_style-text", open(style).read())
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        scaffold_style("demo_style", str(tmp_path))
