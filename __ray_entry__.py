@@ -592,7 +592,7 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS (
                 SELECT vec_id AS query_id FROM embeddings
                 ORDER BY vec_id LIMIT 10
-            ), algos AS (SELECT unnest(['ivf', 'lsh']) AS algo)
+            ), algos AS (SELECT unnest(['ivf', 'lsh', 'sq8']) AS algo)
             SELECT a.algo, q.query_id, TRUE AS recall_ok
             FROM algos a CROSS JOIN q
             ORDER BY a.algo, q.query_id

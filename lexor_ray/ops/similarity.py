@@ -408,22 +408,24 @@ def ivf_ann_topk(
 
 
 def ann_recall(sf_dir: str, n_queries: int = 10, k: int = 5, min_recall: float = 0.3):
-    """Driver-checkable recall bound for BOTH approximate ANN paths
-    (round-2 verdict item 9): per query and per algorithm, is
-    recall@k versus the exact :func:`brute_force_topk` at least
-    ``min_recall``?  The hash/quantizer families themselves are not
-    SQL-expressible, but this BOUND is — the oracle asserts
-    ``recall_ok = TRUE`` for every (algo, query) row, so a recall
-    regression in either index fails the driver gate (the raw recall
-    value itself cannot be a column — the SQL side could not reproduce
-    it, and the driver hash-compares every column).
+    """Driver-checkable recall bound for ALL approximate ANN paths
+    (round-2 verdict item 9): per query and per algorithm (LSH, IVF,
+    and since late r3 the SQ8 quantized-domain search), is recall@k
+    versus the exact :func:`brute_force_topk` at least ``min_recall``?
+    The hash/quantizer families themselves are not SQL-expressible,
+    but this BOUND is — the oracle asserts ``recall_ok = TRUE`` for
+    every (algo, query) row, so a recall regression in any index
+    fails the driver gate (the raw recall value itself cannot be a
+    column — the SQL side could not reproduce it, and the driver
+    hash-compares every column).
 
-    All three top-k sets are tiny (n_queries × k rows) — collecting
-    them is driver-safe at any corpus scale."""
+    All top-k sets are tiny (n_queries × k rows) — collecting them is
+    driver-safe at any corpus scale."""
     exact = brute_force_topk(sf_dir, n_queries=n_queries, k=k).to_pandas()
     results = {
         "lsh": lsh_ann_topk(sf_dir, n_queries=n_queries, k=k).to_pandas(),
         "ivf": ivf_ann_topk(sf_dir, n_queries=n_queries, k=k).to_pandas(),
+        "sq8": sq8_topk(sf_dir, n_queries=n_queries, k=k).to_pandas(),
     }
     e_by_q = exact.groupby("query_id")["vec_id"].agg(set)
     out_algo, out_q, out_ok = [], [], []
