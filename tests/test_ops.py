@@ -269,13 +269,13 @@ def test_minhash_dedup_tiers_identical_on_corpus(ray_session):
 
 def test_ann_recall_gate(ray_session):
     """The combined ANN recall gate emits one row per (algo, query)
-    with recall_ok True for both index families at the default
+    with recall_ok True for all three index families at the default
     bound."""
     from lexor_ray.ops.similarity import ann_recall
 
     got = df(ann_recall(SF))
-    assert sorted(got["algo"].unique()) == ["ivf", "lsh"]
-    assert len(got) == 20
+    assert sorted(got["algo"].unique()) == ["ivf", "lsh", "sq8"]
+    assert len(got) == 30
     assert got["recall_ok"].all()
 
 
