@@ -224,3 +224,52 @@ def test_gopher_quality_subsumes_ngram_stats(ray_session):
         full[cols].reset_index(drop=True),
         frac[cols].reset_index(drop=True),
     )
+
+
+def test_gopher_quality_vs_naive_reference():
+    """Signal columns recomputed by an independent per-document pure-
+    Python implementation over a randomized corpus (seeded) — catches
+    vectorization bugs (bincount offsets, explode alignment) the
+    crafted cases might miss."""
+    import random
+
+    from lexor_ray.ops.textstats import _GOPHER_STOPWORDS, GopherQuality
+
+    rng = random.Random(11)
+    vocab = ["the", "of", "and", "x#y", "...", "•item", "Word", "123", "émî"]
+    texts = []
+    for _ in range(60):
+        n = rng.randint(0, 80)
+        words = [rng.choice(vocab) for _ in range(n)]
+        # random newlines to exercise the line-based rules
+        sep = lambda: "\n" if rng.random() < 0.15 else " "  # noqa: E731
+        texts.append(sep().join(words) if words else "")
+    texts += ["", "\n\n", "- only\n- bullets\n", "ends...\n…"]
+    batch = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = GopherQuality()(batch)
+
+    for i, t in enumerate(texts):
+        words = t.split()
+        lines = t.split("\n")
+        row = got.iloc[i]
+        assert row["n_words"] == len(words), i
+        assert row["n_word_chars"] == sum(len(w) for w in words), i
+        n_sym = (
+            t.count("#")
+            + (len(t) - len(t.replace("...", ""))) // 3
+            + t.count("…")
+        )
+        assert row["n_symbols"] == n_sym, i
+        assert row["n_lines"] == len(lines), i
+        assert row["n_bullet_lines"] == sum(
+            ln.startswith(("- ", "* ", "•")) for ln in lines
+        ), i
+        assert row["n_ellipsis_lines"] == sum(
+            ln.endswith(("...", "…")) for ln in lines
+        ), i
+        assert row["n_alpha_words"] == sum(
+            any(c.isascii() and c.isalpha() for c in w) for w in words
+        ), i
+        assert row["n_stopwords"] == len(
+            {w.lower() for w in words} & set(_GOPHER_STOPWORDS)
+        ), i
