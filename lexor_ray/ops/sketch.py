@@ -337,37 +337,52 @@ def _disc_quantiles(v_sorted: np.ndarray, weights: np.ndarray) -> list[float]:
     return out
 
 
-def value_quantile_sketch(sf_dir: str, sparse_max: int = Q_SPARSE_MAX):
-    """Per-event_type quantiles of ``value`` via mergeable sketches:
+def value_quantile_sketch(
+    sf_dir: str,
+    sparse_max: int = Q_SPARSE_MAX,
+    ds=None,
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+):
+    """Per-key quantiles of a double column via mergeable sketches:
     one payload per (key, batch) — the batch's exact (value, count)
     histogram plus its min-hash reservoir — merged per key. All-sparse
     unions under ``Q_SPARSE_MAX`` distinct values give EXACT
     ``quantile_disc`` answers (the oracle-checked regime at every
     driver sf); oversized unions fall back to the merged reservoir
-    (±rank-error tested)."""
+    (±rank-error tested).
+
+    Defaults to the events table ``(event_type, event_id, value)``;
+    pass ``ds``/``key_col``/``id_col``/``value_col`` to sketch any
+    keyed double column (``id_col`` must be a unique int64 — it seeds
+    the deterministic reservoir)."""
     from .sampling import splitmix64
 
-    ds = tbl(sf_dir, "events", columns=["event_type", "event_id", "value"])
+    if ds is None:
+        ds = tbl(sf_dir, "events", columns=[key_col, id_col, value_col])
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         rows = []
-        for k, sub in df.groupby("event_type", sort=False):
-            vc = sub["value"].value_counts()
-            h = splitmix64(sub["event_id"].to_numpy().astype(np.uint64))
+        for k, sub in df.groupby(key_col, sort=False):
+            vc = sub[value_col].value_counts()
+            h = splitmix64(sub[id_col].to_numpy().astype(np.uint64))
             order = np.argsort(h)[:Q_RESERVOIR]
             rows.append(
                 {
-                    "event_type": k,
+                    key_col: k,
                     "vals": vc.index.to_numpy(np.float64).tolist(),
                     "cnts": vc.to_numpy(np.int64).tolist(),
                     "res_h": h[order].astype(np.int64).tolist(),
-                    "res_v": sub["value"].to_numpy(np.float64)[order].tolist(),
+                    "res_v": sub[value_col]
+                    .to_numpy(np.float64)[order]
+                    .tolist(),
                 }
             )
         return pa.Table.from_pylist(rows) if rows else pa.table(
             {
-                "event_type": pa.array([], pa.string()),
+                key_col: pa.array([], pa.string()),
                 "vals": pa.array([], pa.list_(pa.float64())),
                 "cnts": pa.array([], pa.list_(pa.int64())),
                 "res_h": pa.array([], pa.list_(pa.int64())),
@@ -392,14 +407,14 @@ def value_quantile_sketch(sf_dir: str, sparse_max: int = Q_SPARSE_MAX):
             sample = np.sort(v[keep])
             qs = _disc_quantiles(sample, np.ones(len(sample), np.int64))
             mode = "reservoir"
-        row = {"event_type": [g["event_type"].iloc[0]], "mode": [mode]}
+        row = {key_col: [g[key_col].iloc[0]], "mode": [mode]}
         for (_, name), val in zip(QS, qs):
             row[name] = [val]
         return pd.DataFrame(row)
 
     return (
-        sketches.groupby("event_type").map_groups(merge, batch_format="pandas")
-        .sort("event_type")
+        sketches.groupby(key_col).map_groups(merge, batch_format="pandas")
+        .sort(key_col)
     )
 
 

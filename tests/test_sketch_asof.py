@@ -157,3 +157,37 @@ def test_value_quantile_reservoir_tier(ray_session, tmp_path):
     for q, col in [(0.25, "q25"), (0.5, "q50"), (0.75, "q75"), (0.9, "q90")]:
         est_rank = np.searchsorted(sorted_vals, approx[col]) / n
         assert abs(est_rank - q) < 0.06, (col, est_rank)
+
+
+def test_value_quantile_sketch_generic_columns(ray_session):
+    """The sketch works over any keyed double column via
+    ds/key_col/id_col/value_col (here: per-source n_chars quantiles
+    over the documents table), exactly matching quantile_disc."""
+    import duckdb
+    import ray.data
+
+    from lexor_ray.ops.sketch import value_quantile_sketch
+
+    ds = ray.data.read_parquet(
+        SF + "/documents.parquet", columns=["source", "doc_id", "n_chars"]
+    )
+    got = value_quantile_sketch(
+        SF, ds=ds, key_col="source", id_col="doc_id", value_col="n_chars"
+    ).to_pandas()
+    con = duckdb.connect()
+    want = con.sql(
+        f"""SELECT source,
+               quantile_disc(CAST(n_chars AS DOUBLE), 0.25) AS q25,
+               quantile_disc(CAST(n_chars AS DOUBLE), 0.5) AS q50,
+               quantile_disc(CAST(n_chars AS DOUBLE), 0.75) AS q75,
+               quantile_disc(CAST(n_chars AS DOUBLE), 0.9) AS q90,
+               quantile_disc(CAST(n_chars AS DOUBLE), 0.99) AS q99
+            FROM read_parquet('{SF}/documents.parquet')
+            GROUP BY source ORDER BY source"""
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.drop(columns=["mode"]).reset_index(drop=True),
+        want,
+        check_dtype=False,
+        check_exact=True,
+    )
