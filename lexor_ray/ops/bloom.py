@@ -158,7 +158,7 @@ def bloom_dedup(sf_dir: str, m: int = 1 << 20, k: int = 4):
             }
         )
 
-    return ds.map_batches(score, batch_format="pandas").sort("doc_id")
+    return ds.map_batches(score, batch_format="pandas")
 
 
 def bloom_dedup_oracle_sql(parquet_path: str, m: int = 1 << 20, k: int = 4) -> str:

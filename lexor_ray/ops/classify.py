@@ -217,7 +217,7 @@ def nb_quality_scores(
         )
         return nb_score_batch(m, idx, batch, min_words, max_punct_pct)
 
-    return ds.map_batches(score, batch_format="pandas").sort("doc_id")
+    return ds.map_batches(score, batch_format="pandas")
 
 
 def nb_quality_oracle_sql(

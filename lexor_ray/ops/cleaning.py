@@ -113,7 +113,7 @@ def c4_clean(sf_dir: str, min_words: int = 3):
             b
         ),
         batch_format="pandas",
-    ).sort("doc_id")
+    )
 
 
 def c4_clean_oracle_sql(parquet_path: str, min_words: int = 3) -> str:
@@ -438,7 +438,7 @@ def passage_dedup_docs(sf_dir: str, k: int = 50, key: str = "text"):
             }
         )
 
-    return coarse_apply(tagged, ["doc_id"], rebuild).sort("doc_id")
+    return coarse_apply(tagged, ["doc_id"], rebuild)
 
 
 def span_dedup_docs(sf_dir: str, span_sents: int = 3, delim: str = ". "):
@@ -469,7 +469,7 @@ def span_dedup_docs(sf_dir: str, span_sents: int = 3, delim: str = ". "):
             }
         )
 
-    return coarse_apply(decided, ["doc_id"], rebuild).sort("doc_id")
+    return coarse_apply(decided, ["doc_id"], rebuild)
 
 
 # --------------------------------------------------------------------------

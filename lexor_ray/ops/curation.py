@@ -161,7 +161,7 @@ def curation_docs(
             out[c] = out[c].astype("int64")
         return out
 
-    return coarse_apply(tagged, ["doc_id"], pivot).sort("doc_id")
+    return coarse_apply(tagged, ["doc_id"], pivot)
 
 
 def curation_docs_oracle_sql(

@@ -157,7 +157,7 @@ def decontaminate(sf_dir: str):
             )
         return inst(batch)
 
-    return ds.map_batches(check, batch_format="pandas").sort("doc_id")
+    return ds.map_batches(check, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -57,7 +57,7 @@ def exact_dedup(sf_dir: str):
         .groupby("h")
         .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
     )
-    return out.drop_columns(["h"]).sort("doc_id")
+    return out.drop_columns(["h"])
 
 
 def exact_dedup_all(sf_dir: str):
@@ -906,7 +906,7 @@ def cluster_pairs_distributed(edges, max_rounds: int = 30, n_buckets: int = 64):
             }
         ),
         batch_format="pyarrow",
-    ).sort("doc_id")
+    )
 
 
 def cluster_pairs(pdf: pd.DataFrame, max_rounds: int = 10) -> pa.Table:

@@ -258,7 +258,7 @@ def lm_perplexity(sf_dir: str):
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         return lm_score_batch(*_cached_lm(model_ref), batch)
 
-    return ds.map_batches(score, batch_format="pandas").sort("doc_id")
+    return ds.map_batches(score, batch_format="pandas")
 
 
 def model_quality(sf_dir: str, min_words: int = 20, max_punct_pct: int = 5):
@@ -301,7 +301,7 @@ def model_quality(sf_dir: str, min_words: int = 20, max_punct_pct: int = 5):
         nb["ppl"] = lm["ppl"]
         return nb
 
-    return ds.map_batches(score, batch_format="pandas").sort("doc_id")
+    return ds.map_batches(score, batch_format="pandas")
 
 
 def lm_perplexity_oracle_sql(parquet_path: str) -> str:

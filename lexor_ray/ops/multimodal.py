@@ -321,7 +321,7 @@ def media_features(sf_dir: str):
         batch_format="pyarrow",
         batch_size=64,
     )
-    return feats.sort("doc_id")
+    return feats
 
 
 def frame_sample(sf_dir: str, frame_bytes: int = 16, every_k: int = 4):
@@ -386,7 +386,7 @@ def resize_media(sf_dir: str, out_w: int = 4, out_h: int = 4):
             }
         )
 
-    return ds.map_batches(resize, batch_format="pyarrow", batch_size=64).sort("doc_id")
+    return ds.map_batches(resize, batch_format="pyarrow", batch_size=64)
 
 
 def media_pipeline(sf_dir: str, frame_bytes: int = 16, every_k: int = 4,
@@ -456,4 +456,4 @@ def media_byte_totals(sf_dir: str):
             }
         )
 
-    return ds.map_batches(sizes, batch_format="pyarrow").sort("doc_id")
+    return ds.map_batches(sizes, batch_format="pyarrow")

@@ -102,7 +102,7 @@ def pack_sequences(sf_dir: str, budget: int = 512, n_shards: int = 64):
         ds.map_batches(shard_tokens, batch_format="pandas")
         .groupby("shard")
         .map_groups(pack, batch_format="pandas")
-        .sort("doc_id")
+        
     )
 
 

@@ -259,7 +259,7 @@ def corpus_sampling(
         out["shuffle_rank"] = (base + within).astype(np.int64)
         return out
 
-    return coarse_apply(decided, ["rank_bucket"], assign_rank).sort("doc_id")
+    return coarse_apply(decided, ["rank_bucket"], assign_rank)
 
 
 #: salt for the mixture hash — a third independent splitmix64 stream
@@ -301,7 +301,7 @@ def mixture_weights(sf_dir: str, source_epochs: dict[str, float] | None = None):
             }
         )
 
-    return ds.map_batches(decide, batch_format="pyarrow").sort("doc_id")
+    return ds.map_batches(decide, batch_format="pyarrow")
 
 
 def materialize_epochs(sf_dir: str, source_epochs: dict[str, float] | None = None):

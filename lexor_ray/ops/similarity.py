@@ -318,7 +318,7 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, max_iters: int = 10):
             }
         )
 
-    return ds.map_batches(assign_final, batch_format="pyarrow").sort("vec_id")
+    return ds.map_batches(assign_final, batch_format="pyarrow")
 
 
 def ivf_ann_topk(
@@ -552,7 +552,7 @@ def semdedup(
     return (
         assigned.groupby("cluster")
         .map_groups(prune, batch_format="pandas")
-        .sort("vec_id")
+        
     )
 
 
@@ -652,7 +652,7 @@ def sq8_quantize(sf_dir: str):
             }
         )
 
-    return ds.map_batches(quant, batch_format="pyarrow").sort("vec_id")
+    return ds.map_batches(quant, batch_format="pyarrow")
 
 
 def sq8_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
@@ -774,4 +774,4 @@ def embedding_features(sf_dir: str, k: int = 8):
             }
         )
 
-    return ds.map_batches(fused, batch_format="pyarrow").sort("vec_id")
+    return ds.map_batches(fused, batch_format="pyarrow")

@@ -36,7 +36,7 @@ def token_counts(sf_dir: str):
             }
         )
 
-    return ds.map_batches(counts, batch_format="pyarrow").sort("doc_id")
+    return ds.map_batches(counts, batch_format="pyarrow")
 
 
 def _quality_signals(text: "pa.ChunkedArray") -> dict:
@@ -63,7 +63,7 @@ def quality_counts(sf_dir: str):
         sig = _quality_signals(batch["text"])
         return pa.table({"doc_id": batch["doc_id"], **sig})
 
-    return ds.map_batches(counts, batch_format="pyarrow").sort("doc_id")
+    return ds.map_batches(counts, batch_format="pyarrow")
 
 
 def token_quality_counts(sf_dir: str):
@@ -88,7 +88,7 @@ def token_quality_counts(sf_dir: str):
             }
         )
 
-    return ds.map_batches(counts, batch_format="pyarrow").sort("doc_id")
+    return ds.map_batches(counts, batch_format="pyarrow")
 
 
 def _floor4(s: "pd.Series") -> "pd.Series":
@@ -147,7 +147,7 @@ def quality_scores(sf_dir: str):
     return ds.map_batches(
         lambda b: cached("quality-scorer", QualityScorer)(b),
         batch_format="pandas",
-    ).sort("doc_id")
+    )
 
 
 class LangId:
@@ -198,7 +198,7 @@ def lang_id(sf_dir: str):
 
     return ds.map_batches(
         lambda b: cached("lang-id", LangId)(b), batch_format="pandas"
-    ).sort("doc_id")
+    )
 
 
 class Fingerprinter:
@@ -253,7 +253,7 @@ def fingerprints(sf_dir: str):
     return ds.map_batches(
         lambda b: cached("fingerprinter", Fingerprinter)(b),
         batch_format="pyarrow",
-    ).sort("doc_id")
+    )
 
 
 def filter_quality_documents(sf_dir: str, min_words: int = 20, max_punct_pct: int = 5):
@@ -277,7 +277,7 @@ def filter_quality_documents(sf_dir: str, min_words: int = 20, max_punct_pct: in
         )
         return out.filter(mask)
 
-    return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 def quality_filter_scores(
@@ -305,7 +305,7 @@ def quality_filter_scores(
         )
         return out
 
-    return ds.map_batches(both, batch_format="pandas").sort("doc_id")
+    return ds.map_batches(both, batch_format="pandas")
 
 
 class BpeishTokenizer:
@@ -344,7 +344,7 @@ def bpe_token_counts(sf_dir: str):
     ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
         lambda b: cached("bpeish", BpeishTokenizer)(b), batch_format="pyarrow"
-    ).sort("doc_id")
+    )
 
 
 #: vocabulary size above which tfidf switches from the broadcast-idf
@@ -650,7 +650,7 @@ def repetition_signals(sf_dir: str):
             }
         )
 
-    return ds.map_batches(signals, batch_format="pandas").sort("doc_id")
+    return ds.map_batches(signals, batch_format="pandas")
 
 
 def doc_signals(sf_dir: str):
@@ -685,7 +685,7 @@ def doc_signals(sf_dir: str):
             }
         )
 
-    return ds.map_batches(fused, batch_format="pandas").sort("doc_id")
+    return ds.map_batches(fused, batch_format="pandas")
 
 
 def doc_length_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
@@ -773,7 +773,7 @@ def text_quality_stats(sf_dir: str, min_words: int = 20, max_punct_pct: int = 5)
         )
         return out
 
-    return ds.map_batches(fused, batch_format="pandas").sort("doc_id")
+    return ds.map_batches(fused, batch_format="pandas")
 
 
 class GopherNgrams:
@@ -1015,7 +1015,7 @@ def gopher_quality(sf_dir: str):
 
     return ds.map_batches(
         lambda b: cached("gopher-quality", GopherQuality)(b), batch_format="pandas"
-    ).sort("doc_id")
+    )
 
 
 def gopher_ngram_stats(sf_dir: str):
@@ -1026,4 +1026,4 @@ def gopher_ngram_stats(sf_dir: str):
 
     return ds.map_batches(
         lambda b: cached("gopher-ngrams", GopherNgrams)(b), batch_format="pandas"
-    ).sort("doc_id")
+    )

@@ -14,7 +14,7 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_curation_docs_matches_fused_oracle(ray_session):
-    got = curation_docs(SF).to_pandas().reset_index(drop=True)
+    got = curation_docs(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
     want = duckdb.sql(
         curation_docs_oracle_sql(f"{SF}/documents.parquet")
     ).df()
@@ -28,9 +28,9 @@ def test_curation_docs_equals_parts(ray_session):
     from lexor_ray.ops.cleaning import c4_clean
     from lexor_ray.ops.sampling import mixture_weights
 
-    wide = curation_docs(SF).to_pandas().set_index("doc_id")
+    wide = curation_docs(SF).to_pandas().set_index("doc_id").sort_index()
 
-    c4 = c4_clean(SF).to_pandas().set_index("doc_id")
+    c4 = c4_clean(SF).to_pandas().set_index("doc_id").sort_index()
     pd.testing.assert_series_equal(
         wide["c4_text"], c4["clean_text"], check_names=False
     )
@@ -38,12 +38,12 @@ def test_curation_docs_equals_parts(ray_session):
         wide["n_kept"].astype("int64"), c4["n_kept"], check_names=False
     )
 
-    mx = mixture_weights(SF).to_pandas().set_index("doc_id")
+    mx = mixture_weights(SF).to_pandas().set_index("doc_id").sort_index()
     pd.testing.assert_series_equal(
         wide["n_repeats"].astype("int64"), mx["n_repeats"], check_names=False
     )
 
-    bl = bloom_dedup(SF).to_pandas().set_index("doc_id")
+    bl = bloom_dedup(SF).to_pandas().set_index("doc_id").sort_index()
     sub = wide.loc[bl.index]
     pd.testing.assert_series_equal(
         sub["n_hit_bits"].astype("int64"), bl["n_hit_bits"], check_names=False

@@ -35,14 +35,14 @@ def test_pack_shard_matches_naive_reference():
 
 
 def test_pack_sequences_invariants(ray_session):
-    got = pack_sequences(SF, budget=BUDGET).to_pandas()
+    got = pack_sequences(SF, budget=BUDGET).to_pandas().sort_values("doc_id")
     src = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
     # every document exactly once
     assert sorted(got["doc_id"]) == sorted(src["doc_id"])
     # token counts consistent with the whitespace tokenizer
     want_tok = src.set_index("doc_id")["text"].fillna("").str.count(r"\S+")
     assert (
-        got.set_index("doc_id")["n_tokens"] == want_tok
+        got.set_index("doc_id")["n_tokens"].sort_index() == want_tok.sort_index()
     ).all()
     # shard assignment is the documented hash
     ids = got["doc_id"].to_numpy(np.uint64)

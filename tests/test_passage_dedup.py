@@ -66,6 +66,7 @@ def test_dup_passages_matches_duckdb(ray_session, passage_corpus):
     got = (
         dup_passages(passage_corpus, k=K)
         .to_pandas()
+        .sort_values(["doc_id", "tok_start"])
         .reset_index(drop=True)[["doc_id", "tok_start", "window", "kept"]]
     )
     con = duckdb.connect()
@@ -97,6 +98,7 @@ def test_passage_dedup_docs_matches_duckdb(ray_session, passage_corpus):
     got = (
         passage_dedup_docs(passage_corpus, k=K)
         .to_pandas()
+        .sort_values("doc_id")
         .reset_index(drop=True)
     )
     con = duckdb.connect()
@@ -116,7 +118,12 @@ def test_passage_dedup_on_testdata(ray_session):
     shares all its windows with the first copy, so each later copy
     loses every token; a doc whose text is globally unique loses none
     unless it shares a k-run by chance (checked exactly vs DuckDB)."""
-    got = passage_dedup_docs(SF, k=8).to_pandas().reset_index(drop=True)
+    got = (
+        passage_dedup_docs(SF, k=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
     con = duckdb.connect()
     want = con.sql(_docs_sql(f"{SF}/documents.parquet", 8)).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)

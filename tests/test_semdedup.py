@@ -16,7 +16,7 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_semdedup_matches_numpy_reference(ray_session):
-    got = semdedup(SF, k=8, threshold=0.35).to_pandas()
+    got = semdedup(SF, k=8, threshold=0.35).to_pandas().sort_values("vec_id").reset_index(drop=True)
 
     # independent reference for the PRUNE stage: same centroids (the
     # kmeans loop has its own tests), then a plain numpy replay of the
@@ -63,7 +63,7 @@ def test_semdedup_planted_duplicates(ray_session, tmp_path):
         ),
         tmp_path / "embeddings.parquet",
     )
-    got = semdedup(str(tmp_path), k=4, threshold=0.999).to_pandas()
+    got = semdedup(str(tmp_path), k=4, threshold=0.999).to_pandas().sort_values("vec_id").reset_index(drop=True)
     kept = got.set_index("vec_id")["kept"]
     assert kept.loc[range(40)].all(), "an original was dropped"
     assert not kept.loc[range(40, 60)].any(), "a planted duplicate survived"

@@ -61,7 +61,12 @@ def test_span_dedup_matches_duckdb(ray_session, spanful_corpus):
 
 
 def test_span_dedup_docs_matches_duckdb(ray_session, spanful_corpus):
-    got = span_dedup_docs(spanful_corpus).to_pandas().reset_index(drop=True)
+    got = (
+        span_dedup_docs(spanful_corpus)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
     con = duckdb.connect()
     want = con.sql(_docs_sql(f"{spanful_corpus}/documents.parquet")).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
