@@ -229,9 +229,7 @@ def span_dedup(sf_dir: str, span_sents: int = 3, delim: str = ". "):
         out["kept"] = kept
         return out
 
-    return coarse_apply(spans, ["span"], first_occurrence).sort(
-        ["doc_id", "span_idx"]
-    )
+    return coarse_apply(spans, ["span"], first_occurrence)
 
 
 def dup_passages(sf_dir: str, k: int = 50, key: str = "text"):
@@ -328,9 +326,7 @@ def dup_passages(sf_dir: str, k: int = 50, key: str = "text"):
         out["kept"] = kept[dup_any]
         return out
 
-    return coarse_apply(wins, ["window"], decide).sort(
-        ["doc_id", "tok_start"]
-    )
+    return coarse_apply(wins, ["window"], decide)
 
 
 def passage_dedup_docs(sf_dir: str, k: int = 50, key: str = "text"):

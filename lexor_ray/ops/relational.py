@@ -441,7 +441,7 @@ def events_windows(sf_dir: str):
                 tag("sliding"), batch_format="pyarrow"
             )
         )
-        .sort(["kind", "event_type", "window_start"])
+        
     )
 
 
@@ -482,7 +482,7 @@ def top_events_per_user(sf_dir: str, k: int = 3):
             }
         )
 
-    return coarse_apply(ds, ["user_id"], topk).sort(["user_id", "rank"])
+    return coarse_apply(ds, ["user_id"], topk)
 
 
 def customers_without_orders(sf_dir: str, since: str = "2001-01-01"):
@@ -521,7 +521,7 @@ def customers_without_orders(sf_dir: str, since: str = "2001-01-01"):
         return batch.filter(mask)
 
     ds = tbl(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    return ds.map_batches(anti, batch_format="pyarrow").sort("c_custkey")
+    return ds.map_batches(anti, batch_format="pyarrow")
 
 
 def events_json_stats(sf_dir: str):
@@ -547,18 +547,18 @@ def events_json_stats(sf_dir: str):
         ).reset_index()
         return out
 
-    from ray.data.aggregate import Max, Min, Sum
+    from .util import fold_bounded
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("event_type")
-        .aggregate(
-            Sum("k_sum", alias_name="k_sum"),
-            Min("k_min", alias_name="k_min"),
-            Max("k_max", alias_name="k_max"),
-            Sum("n", alias_name="n_events"),
-        )
-        .sort("event_type")
+    out = fold_bounded(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type"],
+        aggs={"k_min": "min", "k_max": "max"},
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            ["event_type", "k_sum", "k_min", "k_max", "n_events"]
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -596,7 +596,7 @@ def conversation_documents(sf_dir: str):
 
     from .util import coarse_apply
 
-    return coarse_apply(ds, ["conv_id"], assemble).sort("conv_id")
+    return coarse_apply(ds, ["conv_id"], assemble)
 
 
 def events_sessionize(sf_dir: str, gap_s: int = 600):
@@ -639,9 +639,7 @@ def events_sessionize(sf_dir: str, gap_s: int = 600):
 
     from .util import coarse_apply
 
-    return coarse_apply(ds, ["user_id"], sessions).sort(
-        ["user_id", "session_start"]
-    )
+    return coarse_apply(ds, ["user_id"], sessions)
 
 
 def events_asof_join(sf_dir: str):
@@ -682,7 +680,7 @@ def events_asof_join(sf_dir: str):
 
     from .util import coarse_apply
 
-    return coarse_apply(ds, ["user_id"], asof).sort("event_id")
+    return coarse_apply(ds, ["user_id"], asof)
 
 
 def distinct_users_per_event_type(sf_dir: str):
@@ -705,13 +703,13 @@ def distinct_users_per_event_type(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         return batch.group_by(["event_type"]).aggregate([("user_id", "count")])
 
-    from ray.data.aggregate import Sum
+    from .util import fold_bounded
 
-    return (
-        distinct.map_batches(partial, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(Sum("user_id_count", alias_name="n_users"))
-        .sort("event_type")
+    return fold_bounded(
+        distinct.map_batches(partial, batch_format="pyarrow"), ["event_type"]
+    ).map_batches(
+        lambda b: b.rename_columns(["event_type", "n_users"]),
+        batch_format="pyarrow",
     )
 
 
@@ -729,8 +727,20 @@ def lineitem_distinct_flags(sf_dir: str):
         return batch.group_by(["l_returnflag", "l_linestatus"]).aggregate([])
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate([])
+
+    # two-level distinct fold (the key domain is a handful of pairs):
+    # same shape as util.fold_bounded, with DISTINCT as the kernel
     return (
-        parts.groupby(["l_returnflag", "l_linestatus"])
-        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
-        .sort(["l_returnflag", "l_linestatus"])
+        parts.repartition(16)
+        .map_batches(distinct, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(
+            lambda t: distinct(t).sort_by(
+                [("l_returnflag", "ascending"), ("l_linestatus", "ascending")]
+            ),
+            batch_format="pyarrow",
+        )
     )

@@ -84,11 +84,13 @@ def test_hash_tier_identical_decisions(ray_session, passage_corpus):
     text = (
         dup_passages(passage_corpus, k=K)
         .to_pandas()[["doc_id", "tok_start", "kept"]]
+        .sort_values(["doc_id", "tok_start"])
         .reset_index(drop=True)
     )
     hashed = (
         dup_passages(passage_corpus, k=K, key="hash")
         .to_pandas()[["doc_id", "tok_start", "kept"]]
+        .sort_values(["doc_id", "tok_start"])
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(text, hashed)

@@ -48,6 +48,7 @@ def test_span_dedup_matches_duckdb(ray_session, spanful_corpus):
     got = (
         span_dedup(spanful_corpus)
         .to_pandas()
+        .sort_values(["doc_id", "span_idx"])
         .reset_index(drop=True)[["doc_id", "span_idx", "span", "kept"]]
     )
     con = duckdb.connect()
