@@ -938,13 +938,16 @@ def oracle_sql() -> dict[str, str]:
         # operation order as the Ray op — bit-identical.
         "gopher_quality": r"""
             WITH ws AS (
-                SELECT doc_id, text, greatest(length(text), 1) AS L,
-                       CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+                SELECT doc_id, coalesce(text, '') AS text,
+                       greatest(length(coalesce(text, '')), 1) AS L,
+                       CASE WHEN regexp_replace(coalesce(text, ''),
+                                 '^\s+|\s+$', '', 'g') = ''
                             THEN CAST([] AS VARCHAR[])
                             ELSE string_split_regex(
-                                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+                                regexp_replace(coalesce(text, ''),
+                                    '^\s+|\s+$', '', 'g'), '\s+')
                        END AS w,
-                       string_split(text, chr(10)) AS ls
+                       string_split(coalesce(text, ''), chr(10)) AS ls
                 FROM documents
             ), sig AS (
                 SELECT doc_id,

@@ -258,20 +258,22 @@ DIALECT = Dialect(
 _TEST_TEMPLATE = '''\
 """Conformance tests for the {name} style (scaffolded)."""
 
+import os
+
 from lexor_ray.dialects.registry import load_style_file
 from lexor_ray.testing import assert_msg_examples, parse_write_roundtrip
 
-load_style_file(__file__.replace("test_", "", 1))
+# resolve the sibling style module relative to THIS file, so the
+# generated pair is relocatable (any cwd, any directory name)
+_STYLE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "{name}.py")
+load_style_file(_STYLE)
 
 
 def test_msg_examples():
     # replays every `Okay:` / `E100:` example in the module docstring
     import {name}  # noqa: F401  (registered by load_style_file above)
 
-    assert_msg_examples(
-        "{name}-text",
-        open({name_file!r}).read(),
-    )
+    assert_msg_examples("{name}-text", open(_STYLE).read())
 
 
 def test_roundtrip():
@@ -303,7 +305,7 @@ def scaffold_style(name: str, out_dir: str) -> list[str]:
             )
         )
     with open(test, "w") as fh:
-        fh.write(_TEST_TEMPLATE.format(name=name, name_file=style))
+        fh.write(_TEST_TEMPLATE.format(name=name))
     return [style, test]
 
 

@@ -44,51 +44,67 @@ MIN_DOC_CHARS = SNIP_START + SNIP_LEN  #: donors must cover the window
 MAX_SNIPPETS = 100_000
 
 
-def benchmark_snippets(sf_dir: str) -> list[str]:
-    """The small side: one 40-char snippet per benchmark document.
-    Collected to the driver — bounded by the benchmark suite size
-    (``MAX_SNIPPETS``), never by the corpus."""
+def _benchmark_state(sf_dir: str) -> tuple[list[str], list[str]]:
+    """BOTH broadcast sides from ONE corpus scan (review fix: the
+    snippet and n-gram preps used to be separate full reads of the
+    text column): per batch a tagged union of (kind 0) snippet rows
+    with their donor doc_id and (kind 1) the batch's distinct word
+    13-grams. Collected to the driver — bounded by the benchmark
+    suite size (``MAX_SNIPPETS``), never by the corpus."""
+    import pyarrow as pa
+
     ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+    def pick(batch: pd.DataFrame) -> pa.Table:
         texts = batch["text"].fillna("")
+        is_bench = batch["doc_id"] % BENCH_MOD == 0
         # pandas slicing is CHARACTER-based, exactly DuckDB's
         # substr(text, SNIP_START+1, SNIP_LEN) — byte slicing would
         # diverge on the corpus's CJK documents
-        keep = (batch["doc_id"] % BENCH_MOD == 0) & (
-            texts.str.len() >= MIN_DOC_CHARS
-        )
+        keep = is_bench & (texts.str.len() >= MIN_DOC_CHARS)
+        sel = batch.loc[keep]
+        snips = texts.loc[keep].str.slice(SNIP_START, SNIP_START + SNIP_LEN)
+        _, g = _word_ngrams(texts.loc[is_bench], NGRAM_N)
+        grams = np.unique(g)
         # always an ARROW table (typed even when empty): an empty
         # pandas object column trips Ray's block-size estimator, and
         # mixed pandas/arrow blocks from one operator draw schema
         # warnings downstream
-        import pyarrow as pa
-
-        sel = batch.loc[keep]
+        ns, ng = len(sel), len(grams)
         return pa.table(
             {
+                "kind": pa.array(np.r_[np.zeros(ns, np.int8), np.ones(ng, np.int8)]),
                 "doc_id": pa.array(
-                    sel["doc_id"].to_numpy(dtype="int64"), pa.int64()
+                    np.r_[sel["doc_id"].to_numpy(dtype="int64"),
+                          np.full(ng, -1, np.int64)],
+                    pa.int64(),
                 ),
-                "snip": pa.array(
-                    texts.loc[keep]
-                    .str.slice(SNIP_START, SNIP_START + SNIP_LEN)
-                    .tolist(),
-                    pa.string(),
+                "payload": pa.array(
+                    list(snips) + grams.tolist(), pa.string()
                 ),
             }
         )
 
     rows = ds.map_batches(pick, batch_format="pandas").take_all()
-    if len(rows) > MAX_SNIPPETS:
+    snip_rows = sorted(
+        ((r["doc_id"], r["payload"]) for r in rows if r["kind"] == 0)
+    )
+    grams = sorted({r["payload"] for r in rows if r["kind"] == 1})
+    if len(snip_rows) > MAX_SNIPPETS or len(grams) > MAX_SNIPPETS * 100:
         raise ValueError(
-            f"derived benchmark set has {len(rows)} snippets "
-            f"(> {MAX_SNIPPETS}); decontaminate() broadcasts the "
-            "benchmark side and requires it to be eval-suite-sized — "
-            "feed a real (small) benchmark table at this scale"
+            f"derived benchmark set has {len(snip_rows)} snippets / "
+            f"{len(grams)} grams (> {MAX_SNIPPETS}-scale); "
+            "decontaminate() broadcasts the benchmark side and requires "
+            "it to be eval-suite-sized — feed a real (small) benchmark "
+            "table at this scale"
         )
-    rows.sort(key=lambda r: r["doc_id"])
-    return [r["snip"] for r in rows]
+    return [s for _, s in snip_rows], grams
+
+
+def benchmark_snippets(sf_dir: str) -> list[str]:
+    """The verbatim-tier small side: one 40-char snippet per benchmark
+    document (thin wrapper over :func:`_benchmark_state`)."""
+    return _benchmark_state(sf_dir)[0]
 
 
 class ContaminationChecker:
@@ -140,8 +156,9 @@ def decontaminate(sf_dir: str):
     benchmark donor is contaminated without being a donor itself."""
     import ray
 
-    snips_ref = ray.put(benchmark_snippets(sf_dir))
-    grams_ref = ray.put(benchmark_ngrams(sf_dir))
+    snips, grams = _benchmark_state(sf_dir)  # ONE prep scan, both tiers
+    snips_ref = ray.put(snips)
+    grams_ref = ray.put(grams)
     ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
     def check(batch: pd.DataFrame) -> pd.DataFrame:
@@ -193,26 +210,9 @@ def _word_ngrams(texts: pd.Series, n: int) -> tuple[np.ndarray, np.ndarray]:
 
 def benchmark_ngrams(sf_dir: str) -> list[str]:
     """The n-gram small side: every DISTINCT word-13-gram of every
-    benchmark document. Bounded by suite size × words/doc (the same
-    ``MAX_SNIPPETS``-scaled refusal guards the broadcast), never by
-    the corpus."""
-    ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def pick(batch: pd.DataFrame) -> "pa.Table":  # noqa: F821
-        import pyarrow as pa
-
-        sel = batch.loc[batch["doc_id"] % BENCH_MOD == 0]
-        _, g = _word_ngrams(sel["text"].fillna(""), NGRAM_N)
-        return pa.table({"g": pa.array(np.unique(g).tolist(), pa.string())})
-
-    rows = ds.map_batches(pick, batch_format="pandas").take_all()
-    grams = sorted({r["g"] for r in rows})
-    if len(grams) > MAX_SNIPPETS * 100:
-        raise ValueError(
-            f"derived benchmark n-gram set has {len(grams)} grams; "
-            "the broadcast tier requires an eval-suite-sized benchmark"
-        )
-    return grams
+    benchmark document (thin wrapper over :func:`_benchmark_state` —
+    ``decontaminate`` itself fetches both sides from the one scan)."""
+    return _benchmark_state(sf_dir)[1]
 
 
 def decontaminate_oracle_sql(source: str) -> str:

@@ -727,20 +727,8 @@ def lineitem_distinct_flags(sf_dir: str):
         return batch.group_by(["l_returnflag", "l_linestatus"]).aggregate([])
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
+    from .util import fold_bounded
 
-    def distinct(t: pa.Table) -> pa.Table:
-        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate([])
-
-    # two-level distinct fold (the key domain is a handful of pairs):
-    # same shape as util.fold_bounded, with DISTINCT as the kernel
-    return (
-        parts.repartition(16)
-        .map_batches(distinct, batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(
-            lambda t: distinct(t).sort_by(
-                [("l_returnflag", "ascending"), ("l_linestatus", "ascending")]
-            ),
-            batch_format="pyarrow",
-        )
-    )
+    # keys-only partials: with zero value columns fold_bounded's
+    # group_by(keys).aggregate([]) IS a two-level DISTINCT fold
+    return fold_bounded(parts, ["l_returnflag", "l_linestatus"])

@@ -369,11 +369,23 @@ def value_quantile_sketch(
             vc = sub[value_col].value_counts()
             h = splitmix64(sub[id_col].to_numpy().astype(np.uint64))
             order = np.argsort(h)[:Q_RESERVOIR]
+            # payload bound (review fix): a batch whose per-key
+            # distinct-value count exceeds the budget ships an EMPTY
+            # histogram + degraded flag — every payload is ≤ sparse_max
+            # (value,count) pairs + the Q_RESERVOIR sample, so the
+            # merge state is bounded regardless of value cardinality
+            # (the HLL sparse→dense shape applied to quantiles)
+            degraded = len(vc) > sparse_max
             rows.append(
                 {
                     key_col: k,
-                    "vals": vc.index.to_numpy(np.float64).tolist(),
-                    "cnts": vc.to_numpy(np.int64).tolist(),
+                    "degraded": bool(degraded),
+                    "vals": []
+                    if degraded
+                    else vc.index.to_numpy(np.float64).tolist(),
+                    "cnts": []
+                    if degraded
+                    else vc.to_numpy(np.int64).tolist(),
                     "res_h": h[order].astype(np.int64).tolist(),
                     "res_v": sub[value_col]
                     .to_numpy(np.float64)[order]
@@ -383,6 +395,7 @@ def value_quantile_sketch(
         return pa.Table.from_pylist(rows) if rows else pa.table(
             {
                 key_col: pa.array([], pa.string()),
+                "degraded": pa.array([], pa.bool_()),
                 "vals": pa.array([], pa.list_(pa.float64())),
                 "cnts": pa.array([], pa.list_(pa.int64())),
                 "res_h": pa.array([], pa.list_(pa.int64())),
@@ -396,7 +409,7 @@ def value_quantile_sketch(
         vals = np.concatenate([np.asarray(x, np.float64) for x in g["vals"]])
         cnts = np.concatenate([np.asarray(x, np.int64) for x in g["cnts"]])
         hist = pd.Series(cnts).groupby(pd.Series(vals)).sum()
-        if len(hist) <= sparse_max:
+        if not g["degraded"].any() and len(hist) <= sparse_max:
             v_sorted = hist.index.to_numpy(np.float64)  # groupby sorts keys
             qs = _disc_quantiles(v_sorted, hist.to_numpy(np.int64))
             mode = "exact"

@@ -42,13 +42,13 @@ def snapshot_corpus(tmp_path_factory):
 
 
 def test_bloom_matches_duckdb_on_testdata(ray_session):
-    got = bloom_dedup(SF).to_pandas().reset_index(drop=True)
+    got = bloom_dedup(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
     want = duckdb.sql(_bloom_sql(f"{SF}/documents.parquet", 1 << 20, 4)).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
 def test_bloom_flags_planted_cross_snapshot_dups(ray_session, snapshot_corpus):
-    got = bloom_dedup(snapshot_corpus).to_pandas()
+    got = bloom_dedup(snapshot_corpus).to_pandas().sort_values("doc_id")
     want = duckdb.sql(
         _bloom_sql(f"{snapshot_corpus}/documents.parquet", 1 << 20, 4)
     ).df()
@@ -69,6 +69,7 @@ def test_bloom_false_positives_replay_exactly(ray_session, snapshot_corpus):
     got = (
         bloom_dedup(snapshot_corpus, m=64, k=2)
         .to_pandas()
+        .sort_values("doc_id")
         .reset_index(drop=True)
     )
     want = duckdb.sql(

@@ -45,14 +45,14 @@ def quality_corpus(tmp_path_factory):
 
 
 def test_nb_scores_match_duckdb_on_testdata(ray_session):
-    got = nb_quality_scores(SF).to_pandas().reset_index(drop=True)
+    got = nb_quality_scores(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
     con = duckdb.connect()
     want = con.sql(_nb_sql(f"{SF}/documents.parquet")).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
 def test_nb_scores_match_duckdb_on_crafted(ray_session, quality_corpus):
-    got = nb_quality_scores(quality_corpus).to_pandas().reset_index(drop=True)
+    got = nb_quality_scores(quality_corpus).to_pandas().sort_values("doc_id").reset_index(drop=True)
     con = duckdb.connect()
     want = con.sql(_nb_sql(f"{quality_corpus}/documents.parquet")).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)

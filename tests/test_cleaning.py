@@ -111,7 +111,7 @@ def test_c4_rules_unit():
 def test_c4_clean_deterministic_across_block_layouts(ray_session, lineful_corpus):
     import ray.data
 
-    a = c4_clean(lineful_corpus).to_pandas().reset_index(drop=True)
+    a = c4_clean(lineful_corpus).to_pandas().sort_values("doc_id").reset_index(drop=True)
     ds = ray.data.read_parquet(
         f"{lineful_corpus}/documents.parquet", columns=["doc_id", "text"]
     ).repartition(7)

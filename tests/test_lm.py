@@ -58,13 +58,13 @@ def lm_corpus(tmp_path_factory):
 
 
 def test_lm_matches_duckdb_on_testdata(ray_session):
-    got = lm_perplexity(SF).to_pandas().reset_index(drop=True)
+    got = lm_perplexity(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
     want = duckdb.sql(lm_perplexity_oracle_sql(f"{SF}/documents.parquet")).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
 def test_lm_matches_duckdb_on_crafted(ray_session, lm_corpus):
-    got = lm_perplexity(lm_corpus).to_pandas().reset_index(drop=True)
+    got = lm_perplexity(lm_corpus).to_pandas().sort_values("doc_id").reset_index(drop=True)
     want = duckdb.sql(
         lm_perplexity_oracle_sql(f"{lm_corpus}/documents.parquet")
     ).df()
@@ -105,15 +105,15 @@ def test_model_quality_fused_matches_oracle_and_standalone(ray_session):
     from lexor_ray.ops.classify import nb_quality_scores
     from lexor_ray.ops.lm import model_quality, model_quality_oracle_sql
 
-    got = model_quality(SF).to_pandas().reset_index(drop=True)
+    got = model_quality(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
     want = duckdb.sql(
         model_quality_oracle_sql(f"{SF}/documents.parquet")
     ).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
-    nb = nb_quality_scores(SF).to_pandas().reset_index(drop=True)
+    nb = nb_quality_scores(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
     for c in nb.columns:
         assert (got[c].to_numpy() == nb[c].to_numpy()).all(), c
-    lm = lm_perplexity(SF).to_pandas().reset_index(drop=True)
+    lm = lm_perplexity(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
     for src, dst in [
         ("n_backoff", "lm_n_backoff"),
         ("n_oov", "lm_n_oov"),

@@ -23,7 +23,7 @@ def _oracle(parquet: str) -> pd.DataFrame:
 
 
 def test_mixture_weights_matches_duckdb(ray_session):
-    got = mixture_weights(SF).to_pandas().reset_index(drop=True)
+    got = mixture_weights(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
     want = _oracle(f"{SF}/documents.parquet")
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     # both fractional branches must occur, or the hash rule is untested
