@@ -47,7 +47,7 @@ import pandas as pd
 import pyarrow as pa
 
 from .sampling import splitmix64
-from .util import sql_source as _src, cached, tbl
+from .util import splitmix64_sql, sql_source as _src, cached, tbl
 
 #: splitmix64 gamma (public constant) — stepping the seed by it makes
 #: positions j = 0..k-1 the first k outputs of the splitmix stream.
@@ -132,10 +132,12 @@ def bloom_dedup(sf_dir: str, m: int = 1 << 20, k: int = 4):
     ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        # key by the ref's OWN id (hex), not Python id(): id() values
-        # are reused after GC, which can serve a stale cached bitmap
-        bits = cached(
-            ("bloom-bitmap", bitmap_ref.hex()), lambda: ray.get(bitmap_ref)
+        # ONE replace-on-new-ref cache slot (review fix: per-ref keys
+        # accumulate every historical bitmap in long-lived sessions)
+        from .util import cached_for_ref
+
+        bits = cached_for_ref(
+            "bloom-bitmap", bitmap_ref, lambda: ray.get(bitmap_ref)
         )
         new = batch[batch["doc_id"].to_numpy(np.int64) % 2 == 1]
         if len(new) == 0:
@@ -190,24 +192,7 @@ def bloom_dedup_oracle_sql(parquet_path: str, m: int = 1 << 20, k: int = 4) -> s
                            * 11400714819323198485::UHUGEINT)
                         % 18446744073709551616::UHUGEINT AS UBIGINT) AS x
             FROM h CROSS JOIN (SELECT unnest(range({k})) AS j)
-        ), s0 AS (
-            SELECT doc_id, j,
-                   CAST((CAST(x AS UHUGEINT) + 11400714819323198485::UHUGEINT)
-                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
-            FROM seeds
-        ), s1 AS (
-            SELECT doc_id, j,
-                   CAST((CAST(xor(za, za >> 30) AS UHUGEINT)
-                         * 13787848793156543929::UHUGEINT)
-                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
-            FROM s0
-        ), s2 AS (
-            SELECT doc_id, j,
-                   CAST((CAST(xor(za, za >> 27) AS UHUGEINT)
-                         * 10723151780598845931::UHUGEINT)
-                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
-            FROM s1
-        ), pos AS (
+        ), {splitmix64_sql("x", "seeds", carry="doc_id, j")}, pos AS (
             SELECT doc_id, j, xor(za, za >> 31) % {m} AS pos FROM s2
         ), apos AS (
             SELECT DISTINCT pos FROM pos WHERE doc_id % 2 = 0

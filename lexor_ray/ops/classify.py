@@ -40,10 +40,9 @@ import math
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 from .sampling import TRAIN_BP, splitmix64
-from .util import cached, sql_source, tbl
+from .util import splitmix64_sql, cached, sql_source, tbl
 
 #: fixed-point scale for log-probabilities (micro-nats).
 _LP_SCALE = 1e6
@@ -123,6 +122,25 @@ def train_nb_quality(
         agg,
         n_buckets=64,
     ).to_pandas()
+    if "kind" not in counts.columns:
+        # EMPTY training split: Ray drops all-empty blocks, losing the
+        # schema (fold_bounded limitation) — degrade to the flat prior
+        # model instead of crashing (review fix, mirrors ops/lm.py)
+        counts = pd.DataFrame(
+            {
+                "kind": pd.Series([], dtype=object),
+                "word": pd.Series([], dtype=object),
+                "label": pd.Series([], dtype=bool),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+    return nb_model_from_counts(counts)
+
+
+def nb_model_from_counts(counts: pd.DataFrame) -> dict:
+    """Build the broadcastable NB model from the merged (kind, word,
+    label, n) count table — shared by :func:`train_nb_quality` and the
+    fused one-scan trainer in ``ops.lm.model_quality``."""
     wc = counts[counts["kind"] == "w"]
     dc = counts[counts["kind"] == "d"]
     d_pass = int(dc[dc["label"]]["n"].sum())
@@ -134,7 +152,7 @@ def train_nb_quality(
         sub = wc[wc["label"] == cls].set_index("word")["n"]
         t_c = int(sub.sum())
         cnt = sub.reindex(vocab, fill_value=0).to_numpy(np.int64)
-        denom = t_c + v
+        denom = max(t_c + v, 1)  # empty training split: degenerate flat model
         # math.log (libm, == DuckDB ln) per vocabulary entry — the
         # model build is vocabulary-sized, not corpus-sized
         lp = np.fromiter(
@@ -171,8 +189,15 @@ def nb_score_batch(
     words = toks.explode().dropna().to_numpy()
     pos = idx.get_indexer(words) if len(words) else np.empty(0, np.int64)
     oov = pos < 0
-    lp_pass = np.where(oov, m["oov_pass"], m["lp_pass"][np.maximum(pos, 0)])
-    lp_fail = np.where(oov, m["oov_fail"], m["lp_fail"][np.maximum(pos, 0)])
+    if len(m["lp_pass"]) == 0:
+        # degenerate (empty-vocabulary) model: everything is OOV —
+        # np.where evaluates both branches, so don't index the empty
+        # lp arrays (review fix)
+        lp_pass = np.full(len(pos), m["oov_pass"], dtype=np.int64)
+        lp_fail = np.full(len(pos), m["oov_fail"], dtype=np.int64)
+    else:
+        lp_pass = np.where(oov, m["oov_pass"], m["lp_pass"][np.maximum(pos, 0)])
+        lp_fail = np.where(oov, m["oov_fail"], m["lp_fail"][np.maximum(pos, 0)])
     sp = np.full(len(batch), m["prior_pass"], dtype=np.int64)
     sf = np.full(len(batch), m["prior_fail"], dtype=np.int64)
     np.add.at(sp, row, lp_pass.astype(np.int64))
@@ -206,15 +231,15 @@ def nb_quality_scores(
     ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        # key by the ref's OWN id (hex), not Python id(): id() values
-        # are reused after GC, which can serve a stale cached model
-        m = cached(
-            ("nb-quality-model", model_ref.hex()), lambda: ray.get(model_ref)
-        )
-        idx = cached(
-            ("nb-quality-index", model_ref.hex()),
-            lambda: pd.Index(m["words"]),
-        )
+        # ONE replace-on-new-ref cache slot (review fix: per-ref keys
+        # accumulate every historical model in long-lived sessions)
+        from .util import cached_for_ref
+
+        def build():
+            m_ = ray.get(model_ref)
+            return m_, pd.Index(m_["words"])
+
+        m, idx = cached_for_ref("nb-quality", model_ref, build)
         return nb_score_batch(m, idx, batch, min_words, max_punct_pct)
 
     return ds.map_batches(score, batch_format="pandas")
@@ -232,26 +257,8 @@ def nb_quality_oracle_sql(
         WITH base AS (
             SELECT doc_id, coalesce(text, '') AS text
             FROM {sql_source(parquet_path)}
-        ), s0 AS (
-            SELECT doc_id,
-                   CAST((CAST(doc_id AS UHUGEINT)
-                         + 11400714819323198485::UHUGEINT)
-                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
-            FROM base
-        ), s1 AS (
-            SELECT doc_id,
-                   CAST((CAST(xor(za, za >> 30) AS UHUGEINT)
-                         * 13787848793156543929::UHUGEINT)
-                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
-            FROM s0
-        ), s2 AS (
-            SELECT doc_id,
-                   CAST((CAST(xor(za, za >> 27) AS UHUGEINT)
-                         * 10723151780598845931::UHUGEINT)
-                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
-            FROM s1
-        ), hh AS (
-            SELECT doc_id, xor(za, za >> 31) % 1000 < 900 AS is_train
+        ), {splitmix64_sql("doc_id", "base", carry="doc_id")}, hh AS (
+            SELECT doc_id, xor(za, za >> 31) % 1000 < {TRAIN_BP} AS is_train
             FROM s2
         ), lab AS (
             SELECT b.doc_id, h.is_train,

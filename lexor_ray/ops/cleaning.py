@@ -125,7 +125,7 @@ def c4_clean_oracle_sql(parquet_path: str, min_words: int = 3) -> str:
     )
     return f"""
         WITH p AS (
-            SELECT doc_id, string_split(text, chr(10)) AS parts
+            SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS parts
             FROM {_src(parquet_path)}
         ), u AS (
             -- two unnests in one SELECT zip element-wise in DuckDB
@@ -401,12 +401,9 @@ def passage_dedup_docs(sf_dir: str, k: int = 50, key: str = "text"):
         diff = np.zeros(total + 1, dtype=np.int64)
         r = g[g["side"] == 0]
         if len(r):
-            pos = {int(i): j for j, i in enumerate(ids)}
-            rdoc = np.fromiter(
-                (pos[int(i)] for i in r["doc_id"].to_numpy(np.int64)),
-                dtype=np.int64,
-                count=len(r),
-            )
+            # C-level id→slot lookup (review fix: the per-row dict
+            # comprehension + generator was Python work per doc+removal)
+            rdoc = pd.Index(ids).get_indexer(r["doc_id"].to_numpy(np.int64))
             rs = starts[rdoc] + r["tok_start"].to_numpy(np.int64)
             np.add.at(diff, rs, 1)
             np.add.at(diff, np.minimum(rs + k, total), -1)
@@ -482,7 +479,7 @@ def span_dedup_oracle_sql(
     first-occurrence over delim-split sentence spans)."""
     return f"""
         WITH p AS (
-            SELECT doc_id, string_split(text, '{delim}') AS parts
+            SELECT doc_id, string_split(coalesce(text, ''), '{delim}') AS parts
             FROM {_src(parquet_path)}
         ), u AS (
             SELECT doc_id, unnest(parts) AS sent,
@@ -520,7 +517,7 @@ def dup_passages_oracle_sql(parquet_path: str, k: int = 50) -> str:
     """DuckDB replay of :func:`dup_passages` (exact-string tier)."""
     return f"""
         WITH t AS (
-            SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+            SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\\S+') AS toks
             FROM {_src(parquet_path)}
         ), u AS (
             SELECT doc_id, toks,
@@ -546,7 +543,7 @@ def passage_dedup_docs_oracle_sql(parquet_path: str, k: int = 50) -> str:
     of non-first duplicated windows, survivors rejoined)."""
     return f"""
         WITH t AS (
-            SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+            SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\\S+') AS toks
             FROM {_src(parquet_path)}
         ), d AS ({dup_passages_oracle_sql(parquet_path, k)}),
         rem AS (SELECT doc_id, tok_start FROM d WHERE NOT kept),

@@ -49,10 +49,9 @@ import math
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 from .sampling import TRAIN_BP, splitmix64
-from .util import cached, sql_source, tbl
+from .util import splitmix64_sql, cached, sql_source, tbl
 
 #: fixed-point scale for log-probabilities (micro-nats).
 _LP_SCALE = 1e6
@@ -132,6 +131,23 @@ def train_bigram_lm(sf_dir: str) -> dict:
         agg,
         n_buckets=64,
     ).to_pandas()
+    if "prev" not in c2.columns:
+        # EMPTY training split: Ray drops all-empty blocks, losing the
+        # schema — degrade to the flat OOV model (review fix)
+        c2 = pd.DataFrame(
+            {
+                "prev": pd.Series([], dtype=object),
+                "cur": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+    return lm_model_from_counts(c2)
+
+
+def lm_model_from_counts(c2: pd.DataFrame) -> dict:
+    """Build the broadcastable LM model from the merged (prev, cur, n)
+    bigram count table — shared by :func:`train_bigram_lm` and the
+    fused one-scan trainer in :func:`model_quality`."""
     # context totals, unigram counts, T and V all derive from the one
     # bigram count table (every token occurs exactly once as `cur`)
     c1 = c2.groupby("prev")["n"].sum()
@@ -190,9 +206,13 @@ def lm_score_batch(
         bpos = upos = np.empty(0, np.int64)
     backoff = bpos < 0
     oov = backoff & (upos < 0)
-    uni_lp = np.where(upos < 0, m["oov_lp"], m["uni_lp"][np.maximum(upos, 0)])
+    # degenerate (empty) model: np.where evaluates both branches, so
+    # never index empty lp arrays (review fix, mirrors classify)
+    uni_tab = m["uni_lp"] if len(m["uni_lp"]) else np.zeros(1, np.int64)
+    bg_tab = m["bg_lp"] if len(m["bg_lp"]) else np.zeros(1, np.int64)
+    uni_lp = np.where(upos < 0, m["oov_lp"], uni_tab[np.maximum(upos, 0)])
     lp = np.where(
-        backoff, m["backoff"] + uni_lp, m["bg_lp"][np.maximum(bpos, 0)]
+        backoff, m["backoff"] + uni_lp, bg_tab[np.maximum(bpos, 0)]
     ).astype(np.int64)
     nll = np.zeros(len(batch), dtype=np.int64)
     np.add.at(nll, row, -lp)
@@ -229,18 +249,18 @@ def lm_score_batch(
 
 
 def _cached_lm(model_ref):
-    """(model, bigram index, unigram index) via the worker cache."""
+    """(model, bigram index, unigram index) — ONE replace-on-new-ref
+    worker-cache slot (review fix: per-ref keys accumulate every
+    historical model in long-lived sessions)."""
     import ray
 
-    m = cached(("bigram-lm-model", model_ref.hex()), lambda: ray.get(model_ref))
-    bg_idx = cached(
-        ("bigram-lm-bg-index", model_ref.hex()), lambda: pd.Index(m["bg_key"])
-    )
-    uni_idx = cached(
-        ("bigram-lm-uni-index", model_ref.hex()),
-        lambda: pd.Index(m["uni_word"]),
-    )
-    return m, bg_idx, uni_idx
+    from .util import cached_for_ref
+
+    def build():
+        m = ray.get(model_ref)
+        return m, pd.Index(m["bg_key"]), pd.Index(m["uni_word"])
+
+    return cached_for_ref("bigram-lm", model_ref, build)
 
 
 def lm_perplexity(sf_dir: str):
@@ -261,6 +281,92 @@ def lm_perplexity(sf_dir: str):
     return ds.map_batches(score, batch_format="pandas")
 
 
+def _train_both(
+    sf_dir: str, min_words: int = 20, max_punct_pct: int = 5
+) -> tuple[dict, dict]:
+    """Train the NB classifier AND the bigram LM from ONE corpus scan
+    (review fix: ``model_quality`` used to run the two trainers'
+    identical tokenization + split-hash passes back to back — a whole
+    redundant corpus read at scale; the tagged-union partial is the
+    repo's ``sampling._cap_thresholds_and_rank_offsets`` pattern).
+    One keyed shuffle carries both count families; each model builds
+    from its split of the merged table via the SAME model-from-counts
+    code the standalone trainers use (fused == standalone asserted in
+    tests/test_lm.py)."""
+    from .classify import _labels_and_tokens, nb_model_from_counts
+    from .util import coarse_apply
+
+    ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        # ONE tokenization + split hash feeds both count families
+        is_train, label, toks = _labels_and_tokens(
+            batch, min_words, max_punct_pct
+        )
+        n = toks.map(len).to_numpy(np.int64)
+        row = np.repeat(np.arange(len(batch)), n)
+        keep = is_train[row]
+        words = toks.explode().dropna().to_numpy()[keep]
+        wc = (
+            pd.DataFrame({"k1": words, "label": label[row][keep]})
+            .groupby(["k1", "label"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        wc.insert(0, "kind", "w")
+        wc.insert(2, "k2", "")
+        dc = (
+            pd.DataFrame({"label": label[is_train]})
+            .groupby("label", sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        dc.insert(0, "kind", "d")
+        dc.insert(1, "k1", "")
+        dc.insert(2, "k2", "")
+        _, prev, cur = _prev_cur(toks, is_train)
+        bc = (
+            pd.DataFrame({"k1": prev, "k2": cur})
+            .groupby(["k1", "k2"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        bc.insert(0, "kind", "b")
+        bc.insert(3, "label", False)
+        return pd.concat([wc, dc, bc], ignore_index=True)
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["kind", "k1", "k2", "label"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+
+    counts = coarse_apply(
+        ds.map_batches(partials, batch_format="pandas"),
+        ["kind", "k1", "k2", "label"],
+        agg,
+        n_buckets=64,
+    ).to_pandas()
+    if "kind" not in counts.columns:  # empty training split
+        counts = pd.DataFrame(
+            {
+                "kind": pd.Series([], dtype=object),
+                "k1": pd.Series([], dtype=object),
+                "k2": pd.Series([], dtype=object),
+                "label": pd.Series([], dtype=bool),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+    nb_counts = counts[counts["kind"].isin(("w", "d"))].rename(
+        columns={"k1": "word"}
+    )[["kind", "word", "label", "n"]]
+    c2 = counts[counts["kind"] == "b"].rename(
+        columns={"k1": "prev", "k2": "cur"}
+    )[["prev", "cur", "n"]]
+    return nb_model_from_counts(nb_counts), lm_model_from_counts(c2)
+
+
 def model_quality(sf_dir: str, min_words: int = 20, max_punct_pct: int = 5):
     """Fused model-based quality recording query: the Naive Bayes
     classifier (``ops.classify``) AND the bigram-LM perplexity in ONE
@@ -277,20 +383,21 @@ def model_quality(sf_dir: str, min_words: int = 20, max_punct_pct: int = 5):
     tests/test_lm.py)."""
     import ray
 
-    from .classify import nb_score_batch, train_nb_quality
+    from .classify import nb_score_batch
 
-    nb_ref = ray.put(train_nb_quality(sf_dir, min_words, max_punct_pct))
-    lm_ref = ray.put(train_bigram_lm(sf_dir))
+    nb_model, lm_model = _train_both(sf_dir, min_words, max_punct_pct)
+    nb_ref = ray.put(nb_model)
+    lm_ref = ray.put(lm_model)
     ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        nb_m = cached(
-            ("nb-quality-model", nb_ref.hex()), lambda: ray.get(nb_ref)
-        )
-        nb_idx = cached(
-            ("nb-quality-index", nb_ref.hex()),
-            lambda: pd.Index(nb_m["words"]),
-        )
+        from .util import cached_for_ref
+
+        def build():
+            m_ = ray.get(nb_ref)
+            return m_, pd.Index(m_["words"])
+
+        nb_m, nb_idx = cached_for_ref("nb-quality", nb_ref, build)
         nb = nb_score_batch(nb_m, nb_idx, batch, min_words, max_punct_pct)
         lm = lm_score_batch(*_cached_lm(lm_ref), batch)
         # same batch, same row order; LM's n_tokens/is_train are
@@ -313,25 +420,7 @@ def lm_perplexity_oracle_sql(parquet_path: str) -> str:
         WITH base AS (
             SELECT doc_id, coalesce(text, '') AS text
             FROM {sql_source(parquet_path)}
-        ), s0 AS (
-            SELECT doc_id,
-                   CAST((CAST(doc_id AS UHUGEINT)
-                         + 11400714819323198485::UHUGEINT)
-                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
-            FROM base
-        ), s1 AS (
-            SELECT doc_id,
-                   CAST((CAST(xor(za, za >> 30) AS UHUGEINT)
-                         * 13787848793156543929::UHUGEINT)
-                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
-            FROM s0
-        ), s2 AS (
-            SELECT doc_id,
-                   CAST((CAST(xor(za, za >> 27) AS UHUGEINT)
-                         * 10723151780598845931::UHUGEINT)
-                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
-            FROM s1
-        ), hh AS (
+        ), {splitmix64_sql("doc_id", "base", carry="doc_id")}, hh AS (
             SELECT doc_id, xor(za, za >> 31) % 1000 < {TRAIN_BP} AS is_train
             FROM s2
         ), toks AS (

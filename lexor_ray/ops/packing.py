@@ -114,30 +114,15 @@ def pack_sequences_oracle_sql(
     RECURSIVE CTE — each iteration advances every shard by one rank,
     carrying (bin_idx, pos_in_bin, fill). All-integer, so the match is
     exact. Shared by __ray_entry__ and tests/test_packing.py."""
-    from .util import sql_source
+    from .util import splitmix64_sql, sql_source
 
     return f"""
-        WITH RECURSIVE s0 AS (
+        WITH RECURSIVE tok AS (
             SELECT doc_id,
                    len(regexp_extract_all(coalesce(text, ''), '\\S+'))
-                       AS n_tokens,
-                   CAST((CAST(doc_id AS UHUGEINT)
-                         + 11400714819323198485::UHUGEINT)
-                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
+                       AS n_tokens
             FROM {sql_source(source)}
-        ), s1 AS (
-            SELECT doc_id, n_tokens,
-                   CAST((CAST(xor(za, za >> 30) AS UHUGEINT)
-                         * 13787848793156543929::UHUGEINT)
-                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
-            FROM s0
-        ), s2 AS (
-            SELECT doc_id, n_tokens,
-                   CAST((CAST(xor(za, za >> 27) AS UHUGEINT)
-                         * 10723151780598845931::UHUGEINT)
-                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS za
-            FROM s1
-        ), base AS (
+        ), {splitmix64_sql("doc_id", "tok", carry="doc_id, n_tokens")}, base AS (
             SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                    CAST(xor(za, za >> 31) % {n_shards} AS BIGINT) AS shard,
                    CAST(row_number() OVER (

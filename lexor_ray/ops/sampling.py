@@ -38,7 +38,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .util import sql_source as _src, coarse_apply, tbl
+from .util import splitmix64_sql, sql_source as _src, coarse_apply, tbl
 
 #: salt for the second (sampling) hash — xor-ed into doc_id before
 #: splitmix64 so the sampling decision is independent of the split
@@ -346,25 +346,7 @@ def mixture_weights_oracle_sql(
     )
     salt = int(MIX_SALT)
     return f"""
-        WITH s0 AS (
-            SELECT doc_id, source,
-                   CAST((CAST(xor(doc_id, {salt}) AS UHUGEINT)
-                         + 11400714819323198485::UHUGEINT)
-                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS z
-            FROM {_src(parquet_path)}
-        ), s1 AS (
-            SELECT doc_id, source,
-                   CAST((CAST(xor(z, z >> 30) AS UHUGEINT)
-                         * 13787848793156543929::UHUGEINT)
-                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS z
-            FROM s0
-        ), s2 AS (
-            SELECT doc_id, source,
-                   CAST((CAST(xor(z, z >> 27) AS UHUGEINT)
-                         * 10723151780598845931::UHUGEINT)
-                        % 18446744073709551616::UHUGEINT AS UBIGINT) AS z
-            FROM s1
-        ), hh AS (
+        WITH {splitmix64_sql(f"xor(doc_id, {salt})", _src(parquet_path), carry="doc_id, source", state="z")}, hh AS (
             SELECT doc_id, source, xor(z, z >> 31) AS h FROM s2
         )
         SELECT doc_id, source,

@@ -55,6 +55,20 @@ def cached(key, factory):
     return inst
 
 
+def cached_for_ref(slot: str, ref, factory):
+    """ONE worker-cache slot per logical broadcast, REPLACED when the
+    ObjectRef changes — keying the plain dict by ``(slot, ref.hex())``
+    grows an entry (and pins its plasma buffer) per invocation in a
+    long-lived session (review fix; the r2 LSH cache-leak lesson
+    generalized). ``factory()`` receives nothing and typically does
+    ``ray.get(ref)`` + derived indexes."""
+    hex_ = ref.hex()
+    entry = _WORKER_CACHE.get(slot)
+    if entry is None or entry[0] != hex_:
+        entry = _WORKER_CACHE[slot] = (hex_, factory())
+    return entry[1]
+
+
 def coarse_grouped(
     ds, fine_keys: list[str], fn, n_buckets: int = 256, min_group_size: int = 1
 ):
@@ -299,3 +313,42 @@ def fold_bounded(parts, keys: list[str], fan_in: int = 16, aggs: dict | None = N
         lambda t: combine(t).sort_by([(k, "ascending") for k in keys]),
         batch_format="pyarrow",
     )
+
+
+def splitmix64_sql(
+    input_expr: str,
+    source: str,
+    carry: str = "",
+    state: str = "za",
+    prefix: str = "s",
+) -> str:
+    """ONE definition of the 3-stage DuckDB splitmix64 finalizer CTE
+    chain (review fix: the identical UHUGEINT mod-2^64 SQL was
+    copy-pasted across five oracle builders). Emits
+    ``{prefix}0 AS (...), {prefix}1 AS (...), {prefix}2 AS (...)``;
+    the last CTE carries the pre-finalizer ``{state}`` — finish with
+    ``xor({state}, {state} >> 31)``. ``carry`` is the projected key
+    columns (e.g. ``"doc_id"`` or ``"doc_id, source"``); ``input_expr``
+    is the uint64-able seed expression (``doc_id``,
+    ``xor(doc_id, SALT)``, ...). Constants mirror
+    :func:`lexor_ray.ops.sampling.splitmix64` exactly."""
+    sel = f"{carry}, " if carry else ""
+    return f"""{prefix}0 AS (
+            SELECT {sel}CAST((CAST({input_expr} AS UHUGEINT)
+                         + 11400714819323198485::UHUGEINT)
+                        % 18446744073709551616::UHUGEINT AS UBIGINT)
+                       AS {state}
+            FROM {source}
+        ), {prefix}1 AS (
+            SELECT {sel}CAST((CAST(xor({state}, {state} >> 30) AS UHUGEINT)
+                         * 13787848793156543929::UHUGEINT)
+                        % 18446744073709551616::UHUGEINT AS UBIGINT)
+                       AS {state}
+            FROM {prefix}0
+        ), {prefix}2 AS (
+            SELECT {sel}CAST((CAST(xor({state}, {state} >> 27) AS UHUGEINT)
+                         * 10723151780598845931::UHUGEINT)
+                        % 18446744073709551616::UHUGEINT AS UBIGINT)
+                       AS {state}
+            FROM {prefix}1
+        )"""

@@ -69,3 +69,22 @@ def test_nb_distills_the_teacher(ray_session, quality_corpus):
     assert len(held) > 0
     acc = (held["pred"] == held["label"]).mean()
     assert acc >= 0.9, acc
+
+
+def test_nb_quality_empty_training_split(ray_session, tmp_path):
+    """A corpus whose every doc_id hashes OUT of the train split must
+    degrade to the flat prior model, not crash (review fix: the
+    denominator guard lm.py already had)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # doc_ids verified non-train via _labels_and_tokens itself
+    rows = [
+        {"doc_id": i, "text": "some words here " * 10}
+        for i in (4, 15, 23, 30, 53)
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    got = nb_quality_scores(str(tmp_path)).to_pandas()
+    assert len(got) == 5
+    assert not got["is_train"].any()
+    assert got["n_oov"].eq(got["n_tokens"]).all()  # everything is OOV

@@ -121,3 +121,20 @@ def test_model_quality_fused_matches_oracle_and_standalone(ray_session):
         ("ppl", "ppl"),
     ]:
         assert (got[dst].to_numpy() == lm[src].to_numpy()).all(), dst
+
+
+def test_lm_perplexity_empty_training_split(ray_session, tmp_path):
+    """Every doc outside the train split: the LM degrades to the flat
+    OOV model instead of crashing (review fix, mirrors classify)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        {"doc_id": i, "text": "some words here " * 10}
+        for i in (4, 15, 23, 30, 53)  # verified non-train doc_ids
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    got = lm_perplexity(str(tmp_path)).to_pandas()
+    assert len(got) == 5
+    assert not got["is_train"].any()
+    assert got["n_oov"].eq(got["n_tokens"]).all()
