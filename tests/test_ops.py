@@ -907,3 +907,49 @@ def test_decontaminate_ngram_tier_planted(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got.reset_index(), want, check_dtype=False
     )
+
+
+def test_fold_bounded_property_vs_pandas(ray_session):
+    """Property test: fold_bounded == a single pandas groupby for any
+    small keyed table, across agg kernels and partition counts."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import ray.data
+
+    from lexor_ray.ops.util import fold_bounded
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.integers(-1000, 1000),
+            st.integers(-1000, 1000),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(rows=rows_strategy, nparts=st.integers(1, 5))
+    def check(rows, nparts):
+        df = pd.DataFrame(rows, columns=["k", "s", "m"])
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        got = (
+            fold_bounded(ds, ["k"], aggs={"m": "min"})
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        want = (
+            df.groupby("k")
+            .agg(s=("s", "sum"), m=("m", "min"))
+            .reset_index()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    check()
