@@ -47,7 +47,7 @@ import pandas as pd
 import pyarrow as pa
 
 from .sampling import splitmix64
-from .util import splitmix64_sql, sql_source as _src, cached, tbl
+from .util import splitmix64_sql, sql_source as _src, tbl
 
 #: splitmix64 gamma (public constant) — stepping the seed by it makes
 #: positions j = 0..k-1 the first k outputs of the splitmix stream.

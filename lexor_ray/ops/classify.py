@@ -42,7 +42,7 @@ import numpy as np
 import pandas as pd
 
 from .sampling import TRAIN_BP, splitmix64
-from .util import splitmix64_sql, cached, sql_source, tbl
+from .util import splitmix64_sql, sql_source, tbl
 
 #: fixed-point scale for log-probabilities (micro-nats).
 _LP_SCALE = 1e6
