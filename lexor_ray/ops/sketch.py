@@ -444,3 +444,58 @@ def event_type_sketches(sf_dir: str):
     return base.merge(quant, on="event_type").sort_values(
         "event_type", ignore_index=True
     )
+
+
+def quantile_filter(
+    sf_dir: str,
+    q: float = 0.25,
+    ds=None,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    value_col: str = "n_chars",
+):
+    """Per-key quantile-threshold filter — the classic curation move
+    "drop everything below its source's q-th length/quality
+    percentile", composed from :func:`value_quantile_sketch`:
+
+    1. the sketch computes each key's q-quantile (exact-histogram tier
+       at driver scales; bounded reservoir beyond),
+    2. the ≤|keys|-row threshold table broadcasts via ``ray.put``,
+    3. one shuffle-free vectorized scan emits ``(id, key, value,
+       threshold, keep)`` with ``keep = value >= threshold``.
+
+    Defaults to per-source document length over ``documents``. The
+    whole chain replays exactly in DuckDB (``quantile_disc`` per key +
+    the same comparison) — pytest-gated (tests/test_sketch_asof.py);
+    the driver window is full, so this op is recorded through its two
+    constituents (q:`event_type_sketches` gates the sketch itself)."""
+    import ray
+
+    assert any(abs(q - qq) < 1e-12 for qq, _ in QS), f"q must be one of {QS}"
+    col = next(name for qq, name in QS if abs(q - qq) < 1e-12)
+    if ds is None:
+        ds = tbl(sf_dir, "documents", columns=[key_col, id_col, value_col])
+    thr_df = value_quantile_sketch(
+        sf_dir, ds=ds, key_col=key_col, id_col=id_col, value_col=value_col
+    ).to_pandas()
+    thr_ref = ray.put(
+        pd.Series(thr_df[col].to_numpy(), index=thr_df[key_col].to_numpy())
+    )
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        thr = ray.get(thr_ref)
+        t = batch[key_col].map(thr).to_numpy(np.float64)
+        v = batch[value_col].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(np.int64),
+                key_col: batch[key_col],
+                value_col: batch[value_col],
+                "threshold": t,
+                "keep": v >= t,
+            }
+        )
+
+    # Datasets are lazy/re-executable: the same plan feeds the sketch
+    # pass above and the flag scan below
+    return ds.map_batches(flag, batch_format="pandas")

@@ -191,3 +191,34 @@ def test_value_quantile_sketch_generic_columns(ray_session):
         check_dtype=False,
         check_exact=True,
     )
+
+
+def test_quantile_filter_matches_duckdb(ray_session):
+    """Per-source length-percentile filtering replays exactly:
+    quantile_disc threshold per source + the same comparison."""
+    import duckdb
+
+    from lexor_ray.ops.sketch import quantile_filter
+
+    got = (
+        quantile_filter(SF, q=0.25)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = con.sql(
+        f"""WITH t AS (
+               SELECT source,
+                      quantile_disc(CAST(n_chars AS DOUBLE), 0.25) AS threshold
+               FROM read_parquet('{SF}/documents.parquet') GROUP BY source
+            )
+            SELECT d.doc_id, d.source, d.n_chars, t.threshold,
+                   CAST(d.n_chars AS DOUBLE) >= t.threshold AS keep
+            FROM read_parquet('{SF}/documents.parquet') d
+            JOIN t USING (source) ORDER BY d.doc_id"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # the filter actually cuts (and keeps) something per source
+    per_src = got.groupby("source")["keep"]
+    assert (per_src.sum() > 0).all() and (~got["keep"]).sum() > 0
