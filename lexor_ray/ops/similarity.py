@@ -590,14 +590,18 @@ def _sq8_stats(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
         mx = np.asarray(t["mx"].to_pylist(), dtype=np.float64).max(axis=0)
         return pa.table({"mn": [mn.tolist()], "mx": [mx.tolist()]})
 
-    row = (
-        ds.map_batches(partial, batch_format="pyarrow")
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .repartition(16)
-        .map_batches(combine, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
         .repartition(1)
-        .map_batches(combine, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
         .take_all()
-    )[0]
+    )
+    # a fragmented final combine would silently return a PARTIAL
+    # min/max grid (ADVICE r3): fail loudly instead
+    assert len(rows) == 1, f"SQ8 stats fold fragmented: {len(rows)} rows"
+    row = rows[0]
     return (
         np.asarray(row["mn"], dtype=np.float64),
         np.asarray(row["mx"], dtype=np.float64),
@@ -629,7 +633,11 @@ def sq8_quantize(sf_dir: str):
     ds = tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def quant(batch: pa.Table) -> pa.Table:
-        mn_, mx_ = ray.get(grid_ref)
+        from .util import cached_for_ref
+
+        mn_, mx_ = cached_for_ref(
+            "sq8-grid", grid_ref, lambda: ray.get(grid_ref)
+        )
         emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
         if emb.size == 0:
             return pa.table(
@@ -674,7 +682,11 @@ def sq8_topk(sf_dir: str, n_queries: int = 10, k: int = 5):
     ds = tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def local_topk(batch: pa.Table) -> pa.Table:
-        qids_, qdq_, mn_, mx_ = ray.get(q_ref)
+        from .util import cached_for_ref
+
+        qids_, qdq_, mn_, mx_ = cached_for_ref(
+            "sq8-topk-q", q_ref, lambda: ray.get(q_ref)
+        )
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
         if emb.size == 0:
@@ -742,7 +754,11 @@ def embedding_features(sf_dir: str, k: int = 8):
     ds = tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def fused(batch: pa.Table) -> pa.Table:
-        c, mn_, mx_ = ray.get(state_ref)
+        from .util import cached_for_ref
+
+        c, mn_, mx_ = cached_for_ref(
+            "embedding-features-state", state_ref, lambda: ray.get(state_ref)
+        )
         emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
         if emb.size == 0:
             return pa.table(

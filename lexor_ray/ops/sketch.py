@@ -214,7 +214,12 @@ def heavy_hitter_terms(sf_dir: str, k: int = 20):
             }
         )
 
-    return cand.repartition(1).map_batches(final, batch_format="pyarrow")
+    # batch_size=None: the final rank pass must see the whole
+    # repartition(1) block in ONE call (ADVICE r3 — a split block
+    # would emit duplicated per-batch top-k rows)
+    return cand.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    )
 
 
 def _cms_rows(h: np.ndarray, w: int) -> np.ndarray:
@@ -279,14 +284,18 @@ def cms_heavy_hitters(sf_dir: str, k: int = 20, w: int = 1 << 13, cand: int = 64
             }
         )
 
-    row = (
-        ds.map_batches(partial, batch_format="pyarrow")
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .repartition(16)
-        .map_batches(combine, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
         .repartition(1)
-        .map_batches(combine, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
         .take_all()
-    )[0]
+    )
+    # a fragmented final combine would silently return a PARTIAL CMS
+    # matrix (ADVICE r3): fail loudly instead
+    assert len(rows) == 1, f"CMS final fold fragmented: {len(rows)} rows"
+    row = rows[0]
     total = np.asarray(row["cms"], dtype=np.int64).reshape(d, w)
     terms = np.asarray(sorted(row["cand_terms"]), dtype=object)
     if len(terms) == 0:
@@ -483,7 +492,14 @@ def quantile_filter(
     )
 
     def flag(batch: pd.DataFrame) -> pd.DataFrame:
-        thr = ray.get(thr_ref)
+        # worker-cache the broadcast threshold Series instead of
+        # re-deserializing it per batch (ADVICE r3; the repo's
+        # cached_for_ref convention)
+        from .util import cached_for_ref
+
+        thr = cached_for_ref(
+            "quantile-filter-thr", thr_ref, lambda: ray.get(thr_ref)
+        )
         t = batch[key_col].map(thr).to_numpy(np.float64)
         v = batch[value_col].to_numpy(np.float64)
         return pd.DataFrame(

@@ -308,10 +308,17 @@ def fold_bounded(parts, keys: list[str], fan_in: int = 16, aggs: dict | None = N
             | {c: agg[f"{c}_{kind[c]}"] for c in vals}
         )
 
-    lvl1 = parts.repartition(fan_in).map_batches(combine, batch_format="pyarrow")
+    # batch_size=None = whole block per call: the level-2 reducer MUST
+    # see the single repartition(1) block in one batch or it would emit
+    # one partially-folded row group per batch slice (ADVICE r3: the
+    # invariant held on Ray 2.49 by default, but was unasserted)
+    lvl1 = parts.repartition(fan_in).map_batches(
+        combine, batch_format="pyarrow", batch_size=None
+    )
     return lvl1.repartition(1).map_batches(
         lambda t: combine(t).sort_by([(k, "ascending") for k in keys]),
         batch_format="pyarrow",
+        batch_size=None,
     )
 
 
