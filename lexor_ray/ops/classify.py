@@ -26,9 +26,14 @@ Scale shape (100 TB):
   per-(word, class) counts partial-aggregate per batch before the
   single keyed shuffle (one row per word per class, not per token);
 - the model (vocabulary + two int64 log-prob columns) is collected to
-  the driver ONCE — vocabulary-sized, not corpus-sized; at web scale
-  insert a top-V-by-count filter between the aggregate and the
-  collect (same shuffle output, bounded model) and document V;
+  the driver ONCE, and the collect is BOUNDED by a real prune between
+  the aggregate and the collect (r3 verdict item 1): ``min_count``
+  (default 2 — hapax words dropped, the fastText/KenLM recipe) filters
+  inside each shuffle bucket, and optional ``top_v`` keeps only the V
+  most frequent words (per-bucket prefilter → exact ≤64·V-row driver
+  merge; ties broken count-desc then word-asc, deterministically).
+  Pruned/unseen words score through the OOV path; the DuckDB oracle
+  replays the identical cutoff, so the pruned model stays hash-exact;
 - the model ships via ``ray.put`` once and is read per worker through
   the worker cache; scoring is a shuffle-free vectorized pass
   (``pd.Index.get_indexer`` + ``np.add.at`` integer accumulation).
@@ -64,15 +69,51 @@ def _labels_and_tokens(batch: pd.DataFrame, min_words: int, max_punct_pct: int):
     return is_train, label, texts.str.findall(r"\S+")
 
 
+def prune_word_counts(
+    wc: pd.DataFrame, min_count: int, top_v: int | None
+) -> pd.DataFrame:
+    """Prune a (word, label, n) count table: drop words whose TOTAL
+    count (across labels) is below ``min_count``, then keep the
+    ``top_v`` most frequent surviving words (count desc, word asc —
+    a deterministic total order). Applied per shuffle bucket (words
+    are bucket-local, so per-word totals are exact there) and, for
+    ``top_v``, once more on the ≤64·V-row driver merge."""
+    if not len(wc):
+        return wc
+    tot = wc.groupby("word", sort=False)["n"].transform("sum")
+    if min_count > 1:
+        wc = wc[tot >= min_count]
+        tot = tot[tot >= min_count]
+    if top_v is not None and len(wc):
+        totals = (
+            pd.DataFrame({"word": wc["word"], "t": tot})
+            .drop_duplicates("word")
+            .sort_values(["t", "word"], ascending=[False, True],
+                         kind="mergesort")
+            .head(top_v)
+        )
+        wc = wc[wc["word"].isin(totals["word"])]
+    return wc
+
+
 def train_nb_quality(
-    sf_dir: str, min_words: int = 20, max_punct_pct: int = 5
+    sf_dir: str,
+    min_words: int = 20,
+    max_punct_pct: int = 5,
+    min_count: int = 2,
+    top_v: int | None = None,
 ) -> dict:
     """Train the Naive Bayes model on the hash-split training
     partition. Returns the broadcastable model dict:
     ``words`` (sorted vocabulary), ``lp_pass``/``lp_fail`` (int64
     micro-nat log-likelihoods per word), ``oov_pass``/``oov_fail``
     (unseen-word log-likelihood per class), ``prior_pass``/
-    ``prior_fail`` (Laplace-smoothed class priors)."""
+    ``prior_fail`` (Laplace-smoothed class priors).
+
+    ``min_count``/``top_v`` BOUND the driver collect (see module
+    docstring): the vocabulary/totals derive entirely from the pruned
+    count table, so the pruned model is self-consistent and the SQL
+    oracle replays the same cutoff as one more predicate."""
     ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
     def partials(batch: pd.DataFrame) -> pd.DataFrame:
@@ -110,18 +151,35 @@ def train_nb_quality(
     from .util import coarse_apply
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
-        return (
+        m = (
             g.groupby(["kind", "word", "label"], sort=False)["n"]
             .sum()
             .reset_index()
         )
+        # the prune runs HERE, distributed, before any driver collect:
+        # each bucket holds every partial of its words (bucket keys
+        # exclude label for exactly this reason), so per-word totals
+        # are exact per bucket
+        w = m["kind"] == "w"
+        return pd.concat(
+            [prune_word_counts(m[w], min_count, top_v), m[~w]],
+            ignore_index=True,
+        )
 
     counts = coarse_apply(
         ds.map_batches(partials, batch_format="pandas"),
-        ["kind", "word", "label"],
+        ["kind", "word"],
         agg,
         n_buckets=64,
     ).to_pandas()
+    if top_v is not None and "kind" in counts.columns:
+        # per-bucket prefilter left ≤64·top_v candidate words; the
+        # exact global top_v is one tiny driver-side pass
+        w = counts["kind"] == "w"
+        counts = pd.concat(
+            [prune_word_counts(counts[w], 1, top_v), counts[~w]],
+            ignore_index=True,
+        )
     if "kind" not in counts.columns:
         # EMPTY training split: Ray drops all-empty blocks, losing the
         # schema (fold_bounded limitation) — degrade to the flat prior
@@ -218,7 +276,11 @@ def nb_score_batch(
 
 
 def nb_quality_scores(
-    sf_dir: str, min_words: int = 20, max_punct_pct: int = 5
+    sf_dir: str,
+    min_words: int = 20,
+    max_punct_pct: int = 5,
+    min_count: int = 2,
+    top_v: int | None = None,
 ):
     """Train on the hash-split train partition, then score EVERY
     document: ``(doc_id, is_train, label, n_tokens, n_oov,
@@ -227,7 +289,9 @@ def nb_quality_scores(
     is the teacher rule's verdict for eval convenience."""
     import ray
 
-    model_ref = ray.put(train_nb_quality(sf_dir, min_words, max_punct_pct))
+    model_ref = ray.put(
+        train_nb_quality(sf_dir, min_words, max_punct_pct, min_count, top_v)
+    )
     ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
@@ -246,13 +310,24 @@ def nb_quality_scores(
 
 
 def nb_quality_oracle_sql(
-    parquet_path: str, min_words: int = 20, max_punct_pct: int = 5
+    parquet_path: str,
+    min_words: int = 20,
+    max_punct_pct: int = 5,
+    min_count: int = 2,
+    top_v: int | None = None,
 ) -> str:
     """DuckDB replay of the ENTIRE train+score chain (the oracle
     retrains the model in SQL): splitmix64 split, teacher labels,
-    word counts, micro-nat quantization, per-document integer
+    word counts, THE SAME min_count/top_v prune the distributed
+    trainer applies, micro-nat quantization, per-document integer
     scores. Shared by __ray_entry__ (fused ``model_quality`` row)
     and tests/test_classify.py."""
+    topv_pred = (
+        f"QUALIFY row_number() OVER (ORDER BY cp + cf DESC, word ASC)"
+        f" <= {top_v}"
+        if top_v is not None
+        else ""
+    )
     return f"""
         WITH base AS (
             SELECT doc_id, coalesce(text, '') AS text
@@ -274,25 +349,35 @@ def nb_quality_oracle_sql(
             FROM base b JOIN lab l USING (doc_id)
             WHERE l.is_train
         ), wc AS (
+            -- the SAME prune as the trainer: total count >= min_count,
+            -- then the top_v most frequent (count desc, word asc)
             SELECT word,
                    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
                        AS cp,
                    CAST(sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS BIGINT)
                        AS cf
             FROM trainw GROUP BY word
+            HAVING count(*) >= {min_count}
+            {topv_pred}
         ), const AS (
-            SELECT (SELECT count(DISTINCT word) FROM trainw) AS v,
-                   (SELECT count(*) FROM trainw WHERE label) AS t_pass,
-                   (SELECT count(*) FROM trainw WHERE NOT label) AS t_fail,
+            -- v / t_* derive from the PRUNED vocabulary, exactly like
+            -- nb_model_from_counts builds from the pruned count table
+            SELECT (SELECT count(*) FROM wc) AS v,
+                   (SELECT CAST(coalesce(sum(cp), 0) AS BIGINT) FROM wc)
+                       AS t_pass,
+                   (SELECT CAST(coalesce(sum(cf), 0) AS BIGINT) FROM wc)
+                       AS t_fail,
                    (SELECT count(*) FROM lab WHERE is_train AND label)
                        AS d_pass,
                    (SELECT count(*) FROM lab WHERE is_train AND NOT label)
                        AS d_fail
         ), km AS (
-            SELECT CAST(floor(ln(1 / (t_pass + v)) * 1e6) AS BIGINT)
-                       AS oov_pass,
-                   CAST(floor(ln(1 / (t_fail + v)) * 1e6) AS BIGINT)
-                       AS oov_fail,
+            -- greatest(..., 1) mirrors the Python denom clamp
+            -- (ADVICE r3: the degenerate empty/pruned-to-nothing model)
+            SELECT CAST(floor(ln(1 / greatest(t_pass + v, 1)) * 1e6)
+                        AS BIGINT) AS oov_pass,
+                   CAST(floor(ln(1 / greatest(t_fail + v, 1)) * 1e6)
+                        AS BIGINT) AS oov_fail,
                    CAST(floor(ln((d_pass + 1) / (d_pass + d_fail + 2)) * 1e6)
                         AS BIGINT) AS prior_pass,
                    CAST(floor(ln((d_fail + 1) / (d_pass + d_fail + 2)) * 1e6)
@@ -300,10 +385,10 @@ def nb_quality_oracle_sql(
             FROM const
         ), model AS (
             SELECT word,
-                   CAST(floor(ln((cp + 1) / (t_pass + v)) * 1e6) AS BIGINT)
-                       AS lp_pass,
-                   CAST(floor(ln((cf + 1) / (t_fail + v)) * 1e6) AS BIGINT)
-                       AS lp_fail
+                   CAST(floor(ln((cp + 1) / greatest(t_pass + v, 1)) * 1e6)
+                        AS BIGINT) AS lp_pass,
+                   CAST(floor(ln((cf + 1) / greatest(t_fail + v, 1)) * 1e6)
+                        AS BIGINT) AS lp_fail
             FROM wc, const
         ), tok AS (
             SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word

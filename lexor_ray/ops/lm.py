@@ -34,10 +34,17 @@ Scale shape (100 TB):
 - counting is ONE keyed shuffle of (prev, cur, partial-count) rows —
   per-batch partial aggregation first, so shuffle rows are bounded
   by distinct bigrams per batch, not tokens;
-- the model is collected ONCE, distinct-bigram-sized, not
-  corpus-sized; at web scale insert a min-count / top-N prune
-  between the aggregate and the collect (KenLM does the same) and
-  document the cutoff — the unigram table is vocabulary-sized;
+- the model is collected ONCE and the collect is BOUNDED by a real
+  prune between the aggregate and the collect (r3 verdict item 1,
+  the KenLM recipe): ``min_count`` (default 2 — singleton bigrams
+  dropped) filters inside each shuffle bucket, and optional ``top_n``
+  keeps only the N most frequent bigrams (per-bucket prefilter →
+  exact ≤64·N-row driver merge; ties broken count-desc then
+  (prev, cur)-asc, deterministically). The unigram table and the
+  T/V totals derive from the PRUNED bigram table, so the pruned
+  model is self-consistent; pruned bigrams score through backoff
+  and pruned-away words through OOV. The DuckDB oracle replays the
+  identical cutoff, so the pruned model stays hash-exact;
 - the model ships via ``ray.put`` once, read per worker through the
   worker cache; scoring is a shuffle-free vectorized pass (one
   ``pd.Index.get_indexer`` per table + ``np.add.at`` integer sums).
@@ -95,14 +102,39 @@ def _prev_cur(toks: pd.Series, keep: np.ndarray):
     return row, prev, cur
 
 
-def train_bigram_lm(sf_dir: str) -> dict:
+def prune_bigram_counts(
+    c2: pd.DataFrame, min_count: int, top_n: int | None
+) -> pd.DataFrame:
+    """Prune a (prev, cur, n) bigram count table: drop bigrams with
+    ``n < min_count``, then keep the ``top_n`` most frequent survivors
+    (n desc, prev asc, cur asc — a deterministic total order). Applied
+    per shuffle bucket (each (prev, cur) group is bucket-local, so n
+    is exact there) and, for ``top_n``, once more on the ≤64·N-row
+    driver merge."""
+    if min_count > 1 and len(c2):
+        c2 = c2[c2["n"] >= min_count]
+    if top_n is not None and len(c2):
+        c2 = c2.sort_values(
+            ["n", "prev", "cur"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(top_n)
+    return c2
+
+
+def train_bigram_lm(
+    sf_dir: str, min_count: int = 2, top_n: int | None = None
+) -> dict:
     """Train the stupid-backoff bigram LM on the hash-split train
     partition. Returns the broadcastable model dict: ``bg_key``
     (sorted ``prev+SEP+cur`` keys) / ``bg_lp`` (int64 micro-nats),
     ``uni_word`` / ``uni_lp``, ``oov_lp`` (backoff already folded
     into the unigram/oov entries is NOT done — backoff is a separate
     integer constant so seen-bigram scores stay pure), ``backoff``,
-    and the training totals ``t`` / ``v``."""
+    and the training totals ``t`` / ``v``.
+
+    ``min_count``/``top_n`` BOUND the driver collect (see module
+    docstring); the SQL oracle replays the same cutoff."""
     ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
     def partials(batch: pd.DataFrame) -> pd.DataFrame:
@@ -123,7 +155,13 @@ def train_bigram_lm(sf_dir: str) -> dict:
     from .util import coarse_apply
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["prev", "cur"], sort=False)["n"].sum().reset_index()
+        # the prune runs HERE, distributed, before any driver collect
+        # (each (prev, cur) group lives entirely in this bucket)
+        return prune_bigram_counts(
+            g.groupby(["prev", "cur"], sort=False)["n"].sum().reset_index(),
+            min_count,
+            top_n,
+        )
 
     c2 = coarse_apply(
         ds.map_batches(partials, batch_format="pandas"),
@@ -131,6 +169,10 @@ def train_bigram_lm(sf_dir: str) -> dict:
         agg,
         n_buckets=64,
     ).to_pandas()
+    if top_n is not None and "prev" in c2.columns:
+        # per-bucket prefilter left ≤64·top_n candidates; the exact
+        # global top_n is one tiny driver-side pass
+        c2 = prune_bigram_counts(c2, 1, top_n)
     if "prev" not in c2.columns:
         # EMPTY training split: Ray drops all-empty blocks, losing the
         # schema — degrade to the flat OOV model (review fix)
@@ -263,7 +305,7 @@ def _cached_lm(model_ref):
     return cached_for_ref("bigram-lm", model_ref, build)
 
 
-def lm_perplexity(sf_dir: str):
+def lm_perplexity(sf_dir: str, min_count: int = 2, top_n: int | None = None):
     """Train on the hash-split train partition, then score EVERY
     document: ``(doc_id, is_train, n_tokens, n_backoff, n_oov,
     nll_micro, ppl)``. ``nll_micro`` is the integer micro-nat
@@ -272,7 +314,7 @@ def lm_perplexity(sf_dir: str):
     backoff and OOV paths."""
     import ray
 
-    model_ref = ray.put(train_bigram_lm(sf_dir))
+    model_ref = ray.put(train_bigram_lm(sf_dir, min_count, top_n))
     ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
@@ -282,18 +324,30 @@ def lm_perplexity(sf_dir: str):
 
 
 def _train_both(
-    sf_dir: str, min_words: int = 20, max_punct_pct: int = 5
+    sf_dir: str,
+    min_words: int = 20,
+    max_punct_pct: int = 5,
+    min_count: int = 2,
 ) -> tuple[dict, dict]:
     """Train the NB classifier AND the bigram LM from ONE corpus scan
     (review fix: ``model_quality`` used to run the two trainers'
     identical tokenization + split-hash passes back to back — a whole
     redundant corpus read at scale; the tagged-union partial is the
     repo's ``sampling._cap_thresholds_and_rank_offsets`` pattern).
-    One keyed shuffle carries both count families; each model builds
-    from its split of the merged table via the SAME model-from-counts
-    code the standalone trainers use (fused == standalone asserted in
-    tests/test_lm.py)."""
-    from .classify import _labels_and_tokens, nb_model_from_counts
+    One keyed shuffle carries both count families — bucketed on
+    ``(kind, k1)`` so each word's cross-label total AND each bigram
+    group are bucket-local, letting the ``min_count`` prune run
+    distributed exactly like the standalone trainers (a hot ``prev``
+    key adds at most vocabulary-sized rows to one bucket — negligible
+    against the ~V² distinct-bigram table). Each model builds from
+    its split of the merged PRUNED table via the SAME
+    model-from-counts code the standalone trainers use (fused ==
+    standalone asserted in tests/test_lm.py)."""
+    from .classify import (
+        _labels_and_tokens,
+        nb_model_from_counts,
+        prune_word_counts,
+    )
     from .util import coarse_apply
 
     ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
@@ -336,15 +390,29 @@ def _train_both(
         return pd.concat([wc, dc, bc], ignore_index=True)
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
-        return (
+        m = (
             g.groupby(["kind", "k1", "k2", "label"], sort=False)["n"]
             .sum()
             .reset_index()
         )
+        # distributed min_count prune per family (exact per bucket:
+        # the (kind, k1) bucketing colocates every row of a word and
+        # of a bigram group)
+        w = m["kind"] == "w"
+        b = m["kind"] == "b"
+        wp = prune_word_counts(
+            m[w].rename(columns={"k1": "word"}), min_count, None
+        ).rename(columns={"word": "k1"})
+        bp = prune_bigram_counts(
+            m[b].rename(columns={"k1": "prev", "k2": "cur"}),
+            min_count,
+            None,
+        ).rename(columns={"prev": "k1", "cur": "k2"})
+        return pd.concat([wp, bp, m[~w & ~b]], ignore_index=True)
 
     counts = coarse_apply(
         ds.map_batches(partials, batch_format="pandas"),
-        ["kind", "k1", "k2", "label"],
+        ["kind", "k1"],
         agg,
         n_buckets=64,
     ).to_pandas()
@@ -367,7 +435,12 @@ def _train_both(
     return nb_model_from_counts(nb_counts), lm_model_from_counts(c2)
 
 
-def model_quality(sf_dir: str, min_words: int = 20, max_punct_pct: int = 5):
+def model_quality(
+    sf_dir: str,
+    min_words: int = 20,
+    max_punct_pct: int = 5,
+    min_count: int = 2,
+):
     """Fused model-based quality recording query: the Naive Bayes
     classifier (``ops.classify``) AND the bigram-LM perplexity in ONE
     shuffle-free scoring scan — both models train first (each a
@@ -385,7 +458,9 @@ def model_quality(sf_dir: str, min_words: int = 20, max_punct_pct: int = 5):
 
     from .classify import nb_score_batch
 
-    nb_model, lm_model = _train_both(sf_dir, min_words, max_punct_pct)
+    nb_model, lm_model = _train_both(
+        sf_dir, min_words, max_punct_pct, min_count
+    )
     nb_ref = ray.put(nb_model)
     lm_ref = ray.put(lm_model)
     ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
@@ -411,11 +486,20 @@ def model_quality(sf_dir: str, min_words: int = 20, max_punct_pct: int = 5):
     return ds.map_batches(score, batch_format="pandas")
 
 
-def lm_perplexity_oracle_sql(parquet_path: str) -> str:
+def lm_perplexity_oracle_sql(
+    parquet_path: str, min_count: int = 2, top_n: int | None = None
+) -> str:
     """DuckDB replay of the ENTIRE train+score chain (the oracle
     retrains the model in SQL): splitmix64 split, bigram counts with
-    BOS contexts over the train partition, micro-nat quantization,
+    BOS contexts over the train partition, THE SAME min_count/top_n
+    prune the distributed trainer applies, micro-nat quantization,
     stupid-backoff scoring of every document."""
+    topn_pred = (
+        f"QUALIFY row_number() OVER (ORDER BY n2 DESC, prev ASC, cur ASC)"
+        f" <= {top_n}"
+        if top_n is not None
+        else ""
+    )
     return f"""
         WITH base AS (
             SELECT doc_id, coalesce(text, '') AS text
@@ -436,19 +520,27 @@ def lm_perplexity_oracle_sql(parquet_path: str) -> str:
         ), bg AS (
             SELECT doc_id, s.prev AS prev, s.cur AS cur FROM bgl
         ), c2 AS (
+            -- the SAME prune as the trainer: n >= min_count, then the
+            -- top_n most frequent (n desc, (prev, cur) asc)
             SELECT prev, cur, CAST(count(*) AS BIGINT) AS n2
             FROM bg JOIN hh USING (doc_id)
             WHERE is_train GROUP BY prev, cur
+            HAVING count(*) >= {min_count}
+            {topn_pred}
         ), c1 AS (
             SELECT prev, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY prev
         ), uni AS (
             SELECT cur, CAST(sum(n2) AS BIGINT) AS cu FROM c2 GROUP BY cur
         ), const AS (
-            SELECT (SELECT CAST(sum(n2) AS BIGINT) FROM c2) AS t,
+            SELECT (SELECT CAST(coalesce(sum(n2), 0) AS BIGINT) FROM c2)
+                       AS t,
                    (SELECT count(*) FROM uni) AS v
         ), km AS (
+            -- greatest(..., 1) mirrors the Python denom clamp
+            -- (ADVICE r3: the degenerate empty/pruned-to-nothing model)
             SELECT CAST(floor(ln({_ALPHA}) * 1e6) AS BIGINT) AS backoff,
-                   CAST(floor(ln(1 / (t + v)) * 1e6) AS BIGINT) AS oov_lp
+                   CAST(floor(ln(1 / greatest(t + v, 1)) * 1e6) AS BIGINT)
+                       AS oov_lp
             FROM const
         ), model2 AS (
             SELECT c2.prev, c2.cur,
@@ -495,19 +587,22 @@ def lm_perplexity_oracle_sql(parquet_path: str) -> str:
 
 
 def model_quality_oracle_sql(
-    parquet_path: str, min_words: int = 20, max_punct_pct: int = 5
+    parquet_path: str,
+    min_words: int = 20,
+    max_punct_pct: int = 5,
+    min_count: int = 2,
 ) -> str:
     """Fused DuckDB oracle for :func:`model_quality`: the Naive Bayes
     oracle and the bigram-LM oracle (each a full train+score SQL
-    replay) joined on doc_id. LM's is_train/n_tokens are provably
-    identical to NB's (same tokenizer + split hash), so only NB's are
-    projected."""
+    replay, both pruned at the same ``min_count``) joined on doc_id.
+    LM's is_train/n_tokens are provably identical to NB's (same
+    tokenizer + split hash), so only NB's are projected."""
     from .classify import nb_quality_oracle_sql
 
     return f"""
         WITH nb AS ({nb_quality_oracle_sql(parquet_path, min_words,
-                                           max_punct_pct)}),
-        lmq AS ({lm_perplexity_oracle_sql(parquet_path)})
+                                           max_punct_pct, min_count)}),
+        lmq AS ({lm_perplexity_oracle_sql(parquet_path, min_count)})
         SELECT nb.doc_id, nb.is_train, nb.label, nb.n_tokens, nb.n_oov,
                nb.score_pass, nb.score_fail, nb.pred,
                lmq.n_backoff AS lm_n_backoff,

@@ -88,3 +88,90 @@ def test_nb_quality_empty_training_split(ray_session, tmp_path):
     assert len(got) == 5
     assert not got["is_train"].any()
     assert got["n_oov"].eq(got["n_tokens"]).all()  # everything is OOV
+
+
+@pytest.fixture(scope="module")
+def hapax_heavy_corpus(tmp_path_factory):
+    """Vocabulary-heavy corpus (r4 verdict item 1): each doc carries
+    20 per-doc-unique words plus a few words from a tiny common pool —
+    the unpruned vocabulary is ~corpus-sized, the pruned one is
+    pool-sized."""
+    rng = np.random.default_rng(53)
+    pool = [f"common{i}" for i in range(10)]
+    docs = []
+    for i in range(200):
+        words = [f"u{i}x{j}" for j in range(20)] + list(rng.choice(pool, 5))
+        docs.append(" ".join(words))
+    d = tmp_path_factory.mktemp("hapaxcorpus")
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+             "text": pa.array(docs)}
+        ),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+def test_nb_prune_bounds_the_collect(ray_session, hapax_heavy_corpus):
+    """min_count=2 (the default) must drop every hapax word BEFORE the
+    driver collect: the model is pool-sized, not corpus-sized — and
+    the pruned model still matches the SQL replay of the same cutoff."""
+    from lexor_ray.ops.classify import train_nb_quality
+
+    m = train_nb_quality(hapax_heavy_corpus)
+    # ~3600 hapax words existed in training; none may reach the model
+    assert len(m["words"]) <= 20, len(m["words"])
+    assert not any(w.startswith("u") for w in m["words"])
+    got = (
+        nb_quality_scores(hapax_heavy_corpus)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        _nb_sql(f"{hapax_heavy_corpus}/documents.parquet")
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # pruned words score through the OOV path
+    assert (got["n_oov"] >= 20).all()
+
+
+def test_nb_top_v_cap_matches_oracle(ray_session, quality_corpus):
+    """top_v keeps exactly the V most frequent words (deterministic
+    tie-break), distributed-prefilter + driver merge == the SQL
+    QUALIFY replay."""
+    from lexor_ray.ops.classify import train_nb_quality
+
+    m = train_nb_quality(quality_corpus, min_count=1, top_v=15)
+    assert len(m["words"]) == 15
+    got = (
+        nb_quality_scores(quality_corpus, min_count=1, top_v=15)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        _nb_sql(f"{quality_corpus}/documents.parquet", min_count=1, top_v=15)
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_nb_pruned_to_nothing_matches_oracle(ray_session, tmp_path):
+    """ALL words hapax -> the prune empties the vocabulary entirely;
+    the Python denom clamp and the SQL greatest(t+v, 1) (ADVICE r3)
+    must agree on the degenerate flat model."""
+    rows = [
+        {"doc_id": i, "text": " ".join(f"only{i}w{j}" for j in range(25))}
+        for i in range(40)
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    got = (
+        nb_quality_scores(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(_nb_sql(f"{tmp_path}/documents.parquet")).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["n_oov"].eq(got["n_tokens"]).all()

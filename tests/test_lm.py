@@ -138,3 +138,75 @@ def test_lm_perplexity_empty_training_split(ray_session, tmp_path):
     assert len(got) == 5
     assert not got["is_train"].any()
     assert got["n_oov"].eq(got["n_tokens"]).all()
+
+
+def test_lm_prune_bounds_the_collect(ray_session, tmp_path):
+    """min_count=2 (the default) must drop every singleton bigram
+    BEFORE the driver collect (r4 verdict item 1): on a corpus whose
+    cross-doc bigrams never repeat, the model holds only the
+    within-pattern repeats — and still matches the SQL replay of the
+    same cutoff."""
+    # each doc: a repeated 2-word motif (bigrams occur >= 5 times
+    # inside one doc and across docs) plus 15 doc-unique filler words
+    # (every bigram touching filler is a singleton -> pruned)
+    rows = []
+    for i in range(120):
+        motif = "alpha beta " * 5
+        filler = " ".join(f"f{i}q{j}" for j in range(15))
+        rows.append({"doc_id": i, "text": motif + filler})
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    m = train_bigram_lm(str(tmp_path))
+    # unpruned: ~16 distinct bigrams per doc x 120 docs; pruned: the
+    # motif bigrams + the shared BOS/motif boundary pairs only
+    assert len(m["bg_key"]) <= 8, len(m["bg_key"])
+    got = (
+        lm_perplexity(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        lm_perplexity_oracle_sql(f"{tmp_path}/documents.parquet")
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["n_backoff"].sum() > 0  # pruned bigrams take backoff
+
+
+def test_lm_top_n_cap_matches_oracle(ray_session, lm_corpus):
+    """top_n keeps exactly the N most frequent bigrams (deterministic
+    tie-break); distributed-prefilter + driver merge == QUALIFY."""
+    m = train_bigram_lm(lm_corpus, min_count=1, top_n=25)
+    assert len(m["bg_key"]) == 25
+    got = (
+        lm_perplexity(lm_corpus, min_count=1, top_n=25)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        lm_perplexity_oracle_sql(
+            f"{lm_corpus}/documents.parquet", min_count=1, top_n=25
+        )
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_lm_pruned_to_nothing_matches_oracle(ray_session, tmp_path):
+    """ALL bigrams singletons -> the prune empties the model; Python's
+    denom clamp and the SQL greatest(t+v, 1) (ADVICE r3) must agree."""
+    rows = [
+        {"doc_id": i, "text": " ".join(f"z{i}w{j}" for j in range(20))}
+        for i in range(40)
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    got = (
+        lm_perplexity(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        lm_perplexity_oracle_sql(f"{tmp_path}/documents.parquet")
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["n_oov"].eq(got["n_tokens"]).all()
