@@ -232,6 +232,33 @@ def span_dedup(sf_dir: str, span_sents: int = 3, delim: str = ". "):
     return coarse_apply(spans, ["span"], first_occurrence)
 
 
+#: estimated window-string shuffle bytes above which ``key="auto"``
+#: resolves to the hash tier (~k× cheaper shuffle; decisions asserted
+#: tier-identical). Chosen so the driver's oracle scales stay on the
+#: exact-string tier while bench scale and beyond take the hash tier.
+_WINDOW_BYTE_LIMIT = 32 * 1024 * 1024
+
+
+def _resolve_window_key(sf_dir: str, k: int, key: str) -> str:
+    """``key="auto"`` → measure, don't guess (r3 verdict item 2): the
+    stride-1 window explode amplifies text bytes ~k×, so estimated
+    window bytes = k × total text bytes (parquet metadata only, no
+    data read). Over the limit the shuffle moves 64-bit window hashes
+    instead of window strings — the 100-TB tier (collision odds
+    ~n²/2⁶⁴, measured 7.3× on the explode kernel)."""
+    if key != "auto":
+        return key
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .dedup import _mean_text_bytes
+
+    md = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata
+    est = _mean_text_bytes(sf_dir) * md.num_rows * k
+    return "hash" if est > _WINDOW_BYTE_LIMIT else "text"
+
+
 def dup_passages(sf_dir: str, k: int = 50, key: str = "text"):
     """ExactSubstr duplicated-passage detection (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better",
@@ -261,9 +288,11 @@ def dup_passages(sf_dir: str, k: int = 50, key: str = "text"):
     ~k×; hash equality stands in for string equality (collision odds
     ~n²/2⁶⁴; both tiers asserted identical in
     tests/test_passage_dedup.py) and the emitted ``window`` column is
-    then the hash's decimal string."""
+    then the hash's decimal string. ``key="auto"`` picks the tier from
+    measured window bytes (:func:`_resolve_window_key`)."""
     from .util import coarse_apply
 
+    key = _resolve_window_key(sf_dir, k, key)
     ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
     def explode_windows(batch: pd.DataFrame) -> pd.DataFrame:
@@ -329,7 +358,7 @@ def dup_passages(sf_dir: str, k: int = 50, key: str = "text"):
     return coarse_apply(wins, ["window"], decide)
 
 
-def passage_dedup_docs(sf_dir: str, k: int = 50, key: str = "text"):
+def passage_dedup_docs(sf_dir: str, k: int = 50, key: str = "auto"):
     """Documents after ExactSubstr passage removal: every token covered
     by a non-first duplicated window (:func:`dup_passages`) is cut and
     the survivors re-joined with single spaces (token-normalized
@@ -337,7 +366,13 @@ def passage_dedup_docs(sf_dir: str, k: int = 50, key: str = "text"):
     ``string_agg(tok, ' ')``). ONE more keyed shuffle (doc_id): docs
     and their removal starts meet in coarse buckets, coverage is
     stamped with a vectorized interval diff + cumsum — no per-doc
-    Python."""
+    Python.
+
+    Default ``key="auto"`` (r3 verdict item 2): the output columns are
+    tier-independent (the window key never leaves
+    :func:`dup_passages`), so the measured-bytes auto-tier keeps the
+    oracle replay exact at driver scales while the recorded/fused path
+    takes the ~k×-cheaper hash shuffle at any real scale."""
     from .util import coarse_apply
 
     decided = dup_passages(sf_dir, k, key)

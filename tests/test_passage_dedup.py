@@ -133,3 +133,23 @@ def test_passage_dedup_on_testdata(ray_session):
     dup_later = src[src.duplicated("text") & (src["text"].str.len() > 0)]
     sub = got.set_index("doc_id").loc[dup_later["doc_id"]]
     assert (sub["n_removed_tokens"] == sub["n_tokens"]).all()
+
+
+def test_auto_tier_resolves_on_measured_bytes(passage_corpus):
+    """key='auto' (r4: the curation_docs default) must pick the exact
+    string tier under the byte limit and the hash tier above it — from
+    parquet metadata alone, measured not guessed."""
+    from lexor_ray.ops.cleaning import _WINDOW_BYTE_LIMIT, _resolve_window_key
+
+    # crafted corpus: ~tens of KB of text * K << the 32 MiB limit
+    assert _resolve_window_key(passage_corpus, K, "auto") == "text"
+    # a k large enough to push the estimate over the limit flips it
+    big_k = int(_WINDOW_BYTE_LIMIT // 1000) + 50
+    assert _resolve_window_key(passage_corpus, big_k, "auto") == "hash"
+    # explicit keys pass through untouched
+    assert _resolve_window_key(passage_corpus, K, "text") == "text"
+    assert _resolve_window_key(passage_corpus, K, "hash") == "hash"
+    # the driver's oracle scale stays on the exact tier at k=50
+    assert _resolve_window_key("/root/testdata/sf0.01", 50, "auto") == "text"
+    # bench scale takes the hash tier
+    assert _resolve_window_key("/root/testdata/sf0.1", 50, "auto") == "hash"
