@@ -18,6 +18,44 @@ from .util import tbl
 
 # ---------------------------------------------------------------------------
 
+#: global per-key row count above which the per-user operators salt
+#: the key with a time slice (a single pathological user — a bot
+#: emitting billions of events — would otherwise land whole in one
+#: coarse_apply task; r3 verdict item 3). Sized so one flagged key's
+#: slice still vectorizes comfortably in one task at web scale.
+HEAVY_KEY_THRESHOLD = 5_000_000
+
+#: time-slice width for flagged heavy keys (one day): a flagged key's
+#: rows land in per-slice tasks instead of one task; the tiny second
+#: pass merges per-slice partials back into exact per-key results.
+HEAVY_SLICE_S = 86_400
+
+
+def _with_heavy_slice(ds, heavy_ids: np.ndarray, slice_width_s: int, slot: str):
+    """Append ``__slice`` (0 for light keys; 1 + ts_us // width for
+    flagged heavy keys — time partitioned, so per-(user, slice) groups
+    are disjoint in time) for downstream ``coarse_apply`` bucketing on
+    ``[user_id, __slice]``. The heavy-id set broadcasts once."""
+    import ray
+
+    from .util import cached_for_ref
+
+    h_ref = ray.put(heavy_ids)
+    width_us = slice_width_s * 1_000_000
+
+    def add_slice(batch: pd.DataFrame) -> pd.DataFrame:
+        hs = cached_for_ref(slot, h_ref, lambda: ray.get(h_ref))
+        ts_us = batch["ts"].astype("datetime64[us]").astype("int64")
+        is_h = batch["user_id"].isin(hs).to_numpy()
+        batch = batch.copy()
+        batch["__slice"] = np.where(
+            is_h, 1 + ts_us.to_numpy() // width_us, 0
+        )
+        return batch
+
+    return ds.map_batches(add_slice, batch_format="pandas")
+
+
 
 def q1_pricing_summary(sf_dir: str):
     """TPC-H Q1 shape: filtered scan → per-batch partial grouped
@@ -445,18 +483,33 @@ def events_windows(sf_dir: str):
     )
 
 
-def top_events_per_user(sf_dir: str, k: int = 3):
+def top_events_per_user(
+    sf_dir: str,
+    k: int = 3,
+    heavy_threshold: int = HEAVY_KEY_THRESHOLD,
+    slice_width_s: int = HEAVY_SLICE_S,
+):
     """Per-group top-k (window-function shape): the k most recent
     events per user — coarse hash-bucket shuffle + ONE vectorized
     pandas pass per bucket (sort + groupby cumcount; no per-user
     Python call at all — ``coarse_apply``; BENCH/BASELINE.md measured
     per-group dispatch binding both map_groups AND per-fine-group
-    coarse_grouped at high user cardinality)."""
-    from .util import coarse_apply
+    coarse_grouped at high user cardinality).
+
+    Heavy-key guard (r3 verdict item 3): flagged users compute a
+    per-time-slice local top-k first (top-k is trivially mergeable: a
+    user's global top-k is contained in the union of its per-slice
+    top-ks), then one tiny keyed pass re-ranks the ≤ k·n_slices
+    candidates. With no heavy keys the single-pass path runs
+    unchanged."""
+    from .util import coarse_apply, heavy_keys
 
     ds = tbl(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    heavy = heavy_keys(
+        tbl(sf_dir, "events", columns=["user_id"]), "user_id", heavy_threshold
+    )
 
-    def topk(bucket: pd.DataFrame) -> pd.DataFrame:
+    def topk(bucket: pd.DataFrame, by: list[str], ts_col: str) -> pd.DataFrame:
         if len(bucket) == 0:
             return pd.DataFrame(
                 {
@@ -467,22 +520,41 @@ def top_events_per_user(sf_dir: str, k: int = 3):
                 }
             )
         df = bucket.sort_values(
-            ["user_id", "ts", "event_id"],
-            ascending=[True, False, True],
+            [*by, ts_col, "event_id"],
+            ascending=[True] * len(by) + [False, True],
             kind="mergesort",
         )
-        rank = df.groupby("user_id", sort=False).cumcount() + 1
+        rank = df.groupby(by, sort=False).cumcount() + 1
         df = df.assign(rank=rank)[rank <= k]
+        ts_us = (
+            df[ts_col].astype("datetime64[us]").astype("int64")
+            if ts_col == "ts"
+            else df[ts_col].astype("int64")
+        )
         return pd.DataFrame(
             {
                 "user_id": df["user_id"],
                 "event_id": df["event_id"],
-                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+                "ts_us": ts_us,
                 "rank": df["rank"],
             }
         )
 
-    return coarse_apply(ds, ["user_id"], topk)
+    if heavy.empty:
+        return coarse_apply(ds, ["user_id"], lambda b: topk(b, ["user_id"], "ts"))
+
+    sliced = _with_heavy_slice(
+        ds, heavy["user_id"].to_numpy(np.int64), slice_width_s, "topk-heavy"
+    )
+    cand = coarse_apply(
+        sliced,
+        ["user_id", "__slice"],
+        lambda b: topk(b, ["user_id", "__slice"], "ts"),
+    )
+    # re-rank the per-slice candidates: ≤ k rows per (user, slice)
+    return coarse_apply(
+        cand, ["user_id"], lambda b: topk(b, ["user_id"], "ts_us")
+    )
 
 
 def customers_without_orders(sf_dir: str, since: str = "2001-01-01"):
@@ -599,7 +671,12 @@ def conversation_documents(sf_dir: str):
     return coarse_apply(ds, ["conv_id"], assemble)
 
 
-def events_sessionize(sf_dir: str, gap_s: int = 600):
+def events_sessionize(
+    sf_dir: str,
+    gap_s: int = 600,
+    heavy_threshold: int = HEAVY_KEY_THRESHOLD,
+    slice_width_s: int = HEAVY_SLICE_S,
+):
     """Sessionization: per-user ordered gap analysis — coarse
     hash-bucket shuffle on user_id, then ONE vectorized pandas pass
     per bucket (``coarse_apply``): sort by (user, ts), session breaks
@@ -607,10 +684,27 @@ def events_sessionize(sf_dir: str, gap_s: int = 600):
     session ids, single C-level groupby for the roll-up. No per-user
     Python call (measured: per-group dispatch dominates at high user
     cardinality even under coarse_grouped). Returns one row per
-    session."""
-    ds = tbl(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    session.
 
-    def sessions(bucket: pd.DataFrame) -> pd.DataFrame:
+    Heavy-key guard (r3 verdict item 3): a cheap distributed pre-count
+    (``util.heavy_keys``) flags users with ≥ ``heavy_threshold`` rows;
+    when any exist, their rows are salted by ``ts // slice_width_s``
+    so no task sees more than one slice of a hot user, and a tiny
+    second keyed pass over SESSION rows (≪ event rows) merges
+    slice-boundary sessions — merging is exact because sessionization
+    over time-partitioned slices composes: within-slice sessions are
+    separated by > gap by construction, so only the boundary pairs can
+    merge, and the merge rule is the same gap rule applied to session
+    intervals. With no heavy keys (every driver sf) the single-pass
+    path runs unchanged."""
+    from .util import coarse_apply, heavy_keys
+
+    ds = tbl(sf_dir, "events", columns=["user_id", "ts"])
+    heavy = heavy_keys(
+        tbl(sf_dir, "events", columns=["user_id"]), "user_id", heavy_threshold
+    )
+
+    def sessions(bucket: pd.DataFrame, by: list[str]) -> pd.DataFrame:
         if len(bucket) == 0:
             return pd.DataFrame(
                 {
@@ -620,9 +714,11 @@ def events_sessionize(sf_dir: str, gap_s: int = 600):
                     "n_events": pd.Series([], dtype="int64"),
                 }
             )
-        df = bucket.sort_values(["user_id", "ts"], kind="mergesort")
+        df = bucket.sort_values([*by, "ts"], kind="mergesort")
         gaps = df["ts"].diff().dt.total_seconds()
-        brk = df["user_id"].ne(df["user_id"].shift()) | (gaps > gap_s)
+        brk = (gaps > gap_s) | df[by[0]].ne(df[by[0]].shift())
+        for b in by[1:]:
+            brk |= df[b].ne(df[b].shift())
         sid = brk.cumsum()
         g = df.groupby(sid, sort=False)
         out = pd.DataFrame(
@@ -637,22 +733,87 @@ def events_sessionize(sf_dir: str, gap_s: int = 600):
         )
         return out.reset_index(drop=True)
 
-    from .util import coarse_apply
+    if heavy.empty:
+        return coarse_apply(ds, ["user_id"], lambda b: sessions(b, ["user_id"]))
 
-    return coarse_apply(ds, ["user_id"], sessions)
+    sliced = _with_heavy_slice(
+        ds, heavy["user_id"].to_numpy(np.int64), slice_width_s,
+        "sessionize-heavy",
+    )
+    partials = coarse_apply(
+        sliced,
+        ["user_id", "__slice"],
+        lambda b: sessions(b, ["user_id", "__slice"]),
+    )
+
+    def merge_sessions(bucket: pd.DataFrame) -> pd.DataFrame:
+        if len(bucket) == 0:
+            return sessions(bucket, ["user_id"])
+        df = bucket.sort_values(
+            ["user_id", "session_start", "session_end"], kind="mergesort"
+        )
+        brk = df["user_id"].ne(df["user_id"].shift()) | (
+            df["session_start"] - df["session_end"].shift()
+            > gap_s * 1_000_000
+        )
+        sid = brk.cumsum()
+        g = df.groupby(sid, sort=False)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].first(),
+                "session_start": g["session_start"].min(),
+                "session_end": g["session_end"].max(),
+                "n_events": g["n_events"].sum(),
+            }
+        ).reset_index(drop=True)
+
+    # second pass over SESSION rows: idempotent for light users (their
+    # sessions are already gap-separated), merges boundary sessions of
+    # sliced heavy users; per-task rows are session counts, not events
+    return coarse_apply(partials, ["user_id"], merge_sessions)
 
 
-def events_asof_join(sf_dir: str):
+def events_asof_join(
+    sf_dir: str,
+    heavy_threshold: int = HEAVY_KEY_THRESHOLD,
+    slice_width_s: int = HEAVY_SLICE_S,
+):
     """As-of join (SURVEY custom-operator rule): for every click
     event, the most recent prior-or-equal purchase value of the same
     user. Ray Data has no asof join → coarse hash-bucket shuffle on
     user_id with ONE ``pd.merge_asof(..., by="user_id")`` per bucket
     (``coarse_apply``: merge_asof's ``by`` handles every user in the
-    bucket in a single vectorized C pass; the documented partitioning
-    assumption is that one user's events fit one bucket)."""
-    ds = tbl(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+    bucket in a single vectorized C pass).
 
-    def asof(bucket: pd.DataFrame) -> pd.DataFrame:
+    Heavy-key guard (r3 verdict item 3): users flagged by the cheap
+    pre-count are salted by ``ts // slice_width_s`` so no task holds
+    more than one slice of a hot user. Cross-slice resolution is
+    exact: a click unmatched within its slice has NO same-slice
+    purchase at-or-before it, so its answer is the LAST purchase of
+    the nearest earlier slice that has one — recovered by two tiny
+    keyed passes over per-slice summary rows (one row per (user,
+    slice)), never over the raw events. With no heavy keys (every
+    driver sf) the single-pass path runs unchanged."""
+    from .util import coarse_apply, heavy_keys
+
+    ds = tbl(
+        sf_dir, "events",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    heavy = heavy_keys(
+        tbl(sf_dir, "events", columns=["user_id"]), "user_id", heavy_threshold
+    )
+
+    def _final(event_id, user_id, value) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": np.asarray(event_id, dtype=np.int64),
+                "user_id": np.asarray(user_id, dtype=np.int64),
+                "last_purchase_value": np.asarray(value, dtype=np.float64),
+            }
+        )
+
+    def asof(bucket: pd.DataFrame, by: list[str]) -> pd.DataFrame | None:
         clicks = bucket[bucket["event_type"] == "click"].sort_values(
             "ts", kind="mergesort"
         )
@@ -660,27 +821,170 @@ def events_asof_join(sf_dir: str):
             "ts", kind="mergesort"
         )
         if len(clicks) == 0:
-            return pd.DataFrame(
-                {"event_id": [], "user_id": [], "last_purchase_value": []}
-            ).astype({"event_id": "int64", "user_id": "int64"})
-        merged = pd.merge_asof(
-            clicks[["event_id", "user_id", "ts"]],
-            purch[["user_id", "ts", "value"]],
+            return None
+        # __hit marks a real asof match — a matched purchase whose
+        # value is itself NaN must NOT be confused with "no match"
+        # when the guarded path routes misses to cross-slice repair
+        right = purch[[*by, "ts", "value"]].assign(__hit=np.int8(1))
+        return pd.merge_asof(
+            clicks[["event_id", *by, "ts"]],
+            right,
             on="ts",
-            by="user_id",
+            by=by,
             direction="backward",
+        )
+
+    if heavy.empty:
+
+        def simple(bucket: pd.DataFrame) -> pd.DataFrame:
+            m = asof(bucket, ["user_id"])
+            if m is None:
+                return _final([], [], [])
+            return _final(m["event_id"], m["user_id"], m["value"])
+
+        return coarse_apply(ds, ["user_id"], simple)
+
+    # --- guarded path: per-(user, slice) asof + two summary passes ---
+    sliced = _with_heavy_slice(
+        ds, heavy["user_id"].to_numpy(np.int64), slice_width_s, "asof-heavy"
+    )
+
+    _kinds = ("m", "u", "p", "q")  # matched / unmatched / slice-last
+    # purchase / slice-needs-resolution
+
+    def _wide(kind, event_id, user_id, sl, ts_us, value) -> pd.DataFrame:
+        uid = np.asarray(user_id, dtype=np.int64)
+        n = len(uid)
+
+        def arr(x, dt):
+            a = np.asarray(x, dtype=dt)
+            return np.full(n, a, dtype=dt) if a.ndim == 0 else a
+
+        k = (
+            np.full(n, kind, dtype=object)
+            if isinstance(kind, str)
+            else np.asarray(kind, dtype=object)
         )
         return pd.DataFrame(
             {
-                "event_id": merged["event_id"],
-                "user_id": merged["user_id"],
-                "last_purchase_value": merged["value"],
+                "kind": pd.Series(k, dtype=object),
+                "event_id": arr(event_id, np.int64),
+                "user_id": uid,
+                "__slice": arr(sl, np.int64),
+                "ts_us": arr(ts_us, np.int64),
+                "value": arr(value, np.float64),
             }
         )
 
-    from .util import coarse_apply
+    def parts(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        m = asof(bucket, ["user_id", "__slice"])
+        if m is not None and len(m):
+            un = (m["__slice"] > 0) & m["__hit"].isna()
+            mm = m[~un]
+            outs.append(
+                _wide("m", mm["event_id"], mm["user_id"], mm["__slice"],
+                      0, mm["value"])
+            )
+            uu = m[un]
+            if len(uu):
+                outs.append(
+                    _wide("u", uu["event_id"], uu["user_id"], uu["__slice"],
+                          0, np.nan)
+                )
+                qq = uu[["user_id", "__slice"]].drop_duplicates()
+                outs.append(
+                    _wide("q", 0, qq["user_id"], qq["__slice"], 0, np.nan)
+                )
+        hp = bucket[(bucket["event_type"] == "purchase") & (bucket["__slice"] > 0)]
+        if len(hp):
+            hp = hp.sort_values("ts", kind="mergesort")
+            last = hp.groupby(["user_id", "__slice"], sort=False).last().reset_index()
+            outs.append(
+                _wide(
+                    "p", 0, last["user_id"], last["__slice"],
+                    last["ts"].astype("datetime64[us]").astype("int64"),
+                    last["value"],
+                )
+            )
+        if not outs:
+            return _wide([], [], [], [], [], [])
+        return pd.concat(outs, ignore_index=True)
 
-    return coarse_apply(ds, ["user_id"], asof)
+    # one materialize: three consumers below would otherwise re-execute
+    # the whole asof pass per branch (rows here ≈ click count — the
+    # same magnitude the final result holds anyway; spills at scale)
+    wide = coarse_apply(sliced, ["user_id", "__slice"], parts).materialize()
+
+    def resolve(bucket: pd.DataFrame) -> pd.DataFrame:
+        """Per user: for each slice flagged 'q', the latest 'p' row of
+        any EARLIER slice (own-slice purchases are all later than the
+        unmatched clicks by construction). Rows here are per-slice
+        summaries — bounded by time range / slice width, not events."""
+        if len(bucket) == 0:
+            return _wide([], [], [], [], [], [])
+        # q sorts before p within a slice so the carry never leaks the
+        # own-slice purchase into its own slice's resolution; carry ROW
+        # POSITIONS (not values) so a purchase whose value is genuinely
+        # NaN still wins the carry
+        ordk = bucket["kind"].map({"q": 0, "p": 1})
+        df = (
+            bucket.assign(__ord=ordk)
+            .sort_values(["user_id", "__slice", "__ord"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        pos = pd.Series(
+            np.where(
+                df["kind"].to_numpy() == "p",
+                np.arange(len(df), dtype=np.float64),
+                np.nan,
+            )
+        )
+        carried = pos.groupby(df["user_id"].to_numpy(), sort=False).ffill()
+        q = (df["kind"] == "q").to_numpy()
+        ci = carried.to_numpy()[q]
+        vals = np.full(int(q.sum()), np.nan)
+        ok = ~np.isnan(ci)
+        vals[ok] = df["value"].to_numpy()[ci[ok].astype(np.int64)]
+        return _wide(
+            "r", 0, df.loc[q, "user_id"], df.loc[q, "__slice"], 0, vals
+        )
+
+    def _filt(kinds: set):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[batch["kind"].isin(kinds)]
+
+        return f
+
+    pq = wide.map_batches(_filt({"p", "q"}), batch_format="pandas")
+    resolved = coarse_apply(pq, ["user_id"], resolve)
+
+    u_rows = wide.map_batches(_filt({"u"}), batch_format="pandas")
+
+    def attach(bucket: pd.DataFrame) -> pd.DataFrame:
+        u = bucket[bucket["kind"] == "u"]
+        if len(u) == 0:
+            return _final([], [], [])
+        r = bucket[bucket["kind"] == "r"]
+        m = u.merge(
+            r[["user_id", "__slice", "value"]].rename(
+                columns={"value": "__rv"}
+            ),
+            on=["user_id", "__slice"],
+            how="left",
+        )
+        return _final(m["event_id"], m["user_id"], m["__rv"])
+
+    fixed = coarse_apply(
+        u_rows.union(resolved), ["user_id", "__slice"], attach
+    )
+
+    def m_final(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[batch["kind"] == "m"]
+        return _final(m["event_id"], m["user_id"], m["value"])
+
+    matched = wide.map_batches(m_final, batch_format="pandas")
+    return matched.union(fixed)
 
 
 def distinct_users_per_event_type(sf_dir: str):

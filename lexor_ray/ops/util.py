@@ -230,6 +230,45 @@ def coarse_apply(ds, keys: list[str], fn, n_buckets: int = 256):
     return bucketed.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
 
 
+def heavy_keys(ds, key: str, threshold: int, n_buckets: int = 64):
+    """Distributed heavy-key pre-count (r3 verdict item 3): the keys
+    whose GLOBAL row count is at least ``threshold``, as a tiny pandas
+    frame ``(key, n)``. One column-pruned scan emits a per-batch
+    ``value_counts`` partial (one row per distinct key per batch), ONE
+    coarse keyed shuffle sums and filters per bucket (exact: a key
+    lives entirely in one bucket). The collect is bounded by
+    construction — at most ``total_rows / threshold`` keys survive —
+    so this is safe to run before any per-key operator to decide
+    whether its hot keys need time-sliced salting."""
+    import pandas as pd
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = batch.column(key).to_pandas().value_counts()
+        return pa.table(
+            {
+                key: pa.array(vc.index.to_numpy()),
+                "n": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(key, sort=False)["n"].sum().reset_index()
+        return s[s["n"] >= threshold]
+
+    out = coarse_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [key],
+        agg,
+        n_buckets=n_buckets,
+    ).to_pandas()
+    if key not in out.columns:
+        # all-empty buckets lose the schema (Ray drops empty blocks)
+        out = pd.DataFrame({key: pd.Series([], dtype="int64"),
+                            "n": pd.Series([], dtype="int64")})
+    return out
+
+
 def coarse_dedup(ds, keys: list[str], n_buckets: int = 64):
     """Distributed drop-duplicates on ``keys``: coarse hash-bucket
     shuffle + vectorized ``drop_duplicates`` per bucket (no per-group
