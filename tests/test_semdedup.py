@@ -67,3 +67,49 @@ def test_semdedup_planted_duplicates(ray_session, tmp_path):
     kept = got.set_index("vec_id")["kept"]
     assert kept.loc[range(40)].all(), "an original was dropped"
     assert not kept.loc[range(40, 60)].any(), "a planted duplicate survived"
+
+
+def test_semdedup_catches_chunk_boundary_duplicates(ray_session, tmp_path):
+    """r4 (verdict item 5): a duplicate pair STRADDLING a chunk
+    boundary must be caught — the r3 within-chunk-only prune missed
+    it. cluster_cap=8 forces many chunks; dup pairs are planted so
+    the copies land several chunks after their originals."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(30, 16)).astype(np.float64)
+    # ids 0..29 unique originals; ids 30..39 duplicate ids 0..9 —
+    # with cap=8, id 30+ sits 3+ chunks after its original
+    vecs = np.vstack([base, base[:10]])
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(40), type=pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs],
+                    type=pa.list_(pa.float64()),
+                ),
+                "label": pa.array([0] * 40, type=pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    # k=1: ONE cluster of 40 vectors -> 5 chunks at cap=8; every
+    # planted dup crosses a chunk boundary
+    got = (
+        semdedup(str(tmp_path), k=1, threshold=0.999, cluster_cap=8)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    kept = got.set_index("vec_id")["kept"]
+    assert kept.loc[range(30)].all(), "an original was dropped"
+    assert not kept.loc[range(30, 40)].any(), (
+        "a boundary-straddling duplicate survived"
+    )
+    # and the chunked prune equals the unchunked one exactly
+    whole = (
+        semdedup(str(tmp_path), k=1, threshold=0.999, cluster_cap=8192)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, whole, check_dtype=False)
