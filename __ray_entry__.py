@@ -68,8 +68,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     value_quantile_sketch → event_type_sketches (exact distinct, HLL
     estimate and value quantiles in one bounded ≤k-row merge),
     c4_clean+span_dedup_docs+passage_dedup_docs+mixture_weights+
-    bloom_dedup → curation_docs (one wide oracle-checked per-doc row
-    joining all five curation operators on doc_id)."""
+    bloom_dedup+quantile_filter → curation_docs (one wide
+    oracle-checked per-doc row joining all six curation operators on
+    doc_id)."""
     from lexor_ray.ops import (
         curation,
         decontam,
@@ -928,7 +929,7 @@ def oracle_sql() -> dict[str, str]:
                        AS shuffle_rank
             FROM hh ORDER BY doc_id
         """,
-        # The five curation operators fused into one wide per-doc row:
+        # The six curation operators fused into one wide per-doc row:
         # each CTE is the operator's own oracle SQL (kept beside its
         # op in lexor_ray/ops), joined on doc_id.
         "curation_docs": _curation_oracle("documents"),

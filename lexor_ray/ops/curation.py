@@ -1,17 +1,19 @@
 """Fused per-document curation recording query.
 
 The driver records only the first 50 ``queries()`` entries, so the
-five per-document curation operators added in round 3 — C4 line
-cleaning, C4 global span dedup, ExactSubstr passage dedup, the
-deterministic mixture plan and the Bloom incremental-dedup flag —
-are RECORDED through one fused oracle-checked entry: a single wide
-row per document joining each operator's output on ``doc_id``. Each
-operator stays first-class with its own tests and DuckDB oracle; the
-fusion calls the PUBLIC functions verbatim, so the recorded row
-certifies exactly the code path a user runs.
+six per-document curation operators — C4 line cleaning, C4 global
+span dedup, ExactSubstr passage dedup, the deterministic mixture
+plan, the Bloom incremental-dedup flag, and (r4) the per-source
+quantile-threshold filter (``sketch.quantile_filter``, the CCNet
+"drop below the source's q-th percentile" step) — are RECORDED
+through one fused oracle-checked entry: a single wide row per
+document joining each operator's output on ``doc_id``. Each operator
+stays first-class with its own tests and DuckDB oracle; the fusion
+calls the PUBLIC functions verbatim, so the recorded row certifies
+exactly the code path a user runs.
 
 Join strategy: chained ``Dataset.join`` deadlocks the streaming
-executor (CLAUDE.md / BENCH), so the five outputs are tagged onto one
+executor (CLAUDE.md / BENCH), so the six outputs are tagged onto one
 shared wide Arrow schema (nulls where a source has no column), union
 → ONE coarse keyed shuffle on ``doc_id`` → a single vectorized
 pandas ``groupby(doc_id).first()`` per bucket picks each column's
@@ -47,6 +49,8 @@ _WIDE = [
     ("n_repeats", pa.int64()),
     ("n_hit_bits", pa.int64()),
     ("maybe_dup", pa.bool_()),
+    ("q_threshold", pa.float64()),
+    ("q_keep", pa.bool_()),
 ]
 _SCHEMA = pa.schema(_WIDE)
 _INT_COLS = [c for c, t in _WIDE if t == pa.int64() and c != "doc_id"]
@@ -81,14 +85,16 @@ def curation_docs(
     k: int = 50,
     m: int = 1 << 20,
     n_bits: int = 4,
+    q: float = 0.25,
 ):
-    """One wide oracle-checked row per document fusing the five
-    curation operators (see module docstring). Scale shape: the five
+    """One wide oracle-checked row per document fusing the six
+    curation operators (see module docstring). Scale shape: the six
     public pipelines run as-is, then ONE extra keyed shuffle
-    colocates each doc's five rows."""
+    colocates each doc's six rows."""
     from .bloom import bloom_dedup
     from .cleaning import c4_clean, passage_dedup_docs, span_dedup_docs
     from .sampling import mixture_weights
+    from .sketch import quantile_filter
 
     parts = [
         c4_clean(sf_dir, min_words).map_batches(
@@ -133,6 +139,10 @@ def curation_docs(
             _tagger({"n_hit_bits": "n_hit_bits", "maybe_dup": "maybe_dup"}),
             batch_format="pyarrow",
         ),
+        quantile_filter(sf_dir, q).map_batches(
+            _tagger({"q_threshold": "threshold", "q_keep": "keep"}),
+            batch_format="pyarrow",
+        ),
     ]
     # run the five branches as SEPARATE bounded DAGs: one streaming DAG
     # holding all ~13 of their all-to-all operators at once contends
@@ -157,6 +167,10 @@ def curation_docs(
         out["maybe_dup"] = (
             out["maybe_dup"].to_numpy(dtype=object) == True  # noqa: E712
         )
+        out["q_keep"] = (
+            out["q_keep"].to_numpy(dtype=object) == True  # noqa: E712
+        )
+        out["q_threshold"] = out["q_threshold"].astype("float64")
         for c in _INT_COLS:
             out[c] = out[c].astype("int64")
         return out
@@ -172,10 +186,14 @@ def curation_docs_oracle_sql(
     k: int = 50,
     m: int = 1 << 20,
     n_bits: int = 4,
+    q: float = 0.25,
 ) -> str:
     """The fused DuckDB oracle: each operator's own oracle SQL as a
     CTE, joined on doc_id (LEFT for Bloom, which only scores odd
-    doc_ids)."""
+    doc_ids). The quantile-filter CTE replays
+    ``sketch.quantile_filter`` exactly: ``quantile_disc`` per source
+    (the sketch's exact-histogram tier reproduces it bit-for-bit at
+    driver scales) + the same float comparison."""
     from .bloom import bloom_dedup_oracle_sql
     from .cleaning import (
         c4_clean_oracle_sql,
@@ -183,13 +201,24 @@ def curation_docs_oracle_sql(
         span_dedup_docs_oracle_sql,
     )
     from .sampling import mixture_weights_oracle_sql
+    from .util import sql_source
 
     return f"""
         WITH c4 AS ({c4_clean_oracle_sql(parquet_path, min_words)}),
         sp AS ({span_dedup_docs_oracle_sql(parquet_path, span_sents, delim)}),
         pg AS ({passage_dedup_docs_oracle_sql(parquet_path, k)}),
         mx AS ({mixture_weights_oracle_sql(parquet_path)}),
-        bl AS ({bloom_dedup_oracle_sql(parquet_path, m, n_bits)})
+        bl AS ({bloom_dedup_oracle_sql(parquet_path, m, n_bits)}),
+        qt AS (
+            SELECT source,
+                   quantile_disc(CAST(n_chars AS DOUBLE), {q}) AS q_threshold
+            FROM {sql_source(parquet_path)} GROUP BY source
+        ),
+        qf AS (
+            SELECT d.doc_id, qt.q_threshold,
+                   CAST(d.n_chars AS DOUBLE) >= qt.q_threshold AS q_keep
+            FROM {sql_source(parquet_path)} d JOIN qt USING (source)
+        )
         SELECT c4.doc_id,
                c4.clean_text AS c4_text, c4.n_lines, c4.n_kept,
                c4.n_no_terminal, c4.n_too_short, c4.n_boilerplate,
@@ -199,11 +228,13 @@ def curation_docs_oracle_sql(
                pg.n_removed_tokens,
                mx.source, mx.n_repeats,
                coalesce(bl.n_hit_bits, -1) AS n_hit_bits,
-               coalesce(bl.maybe_dup, false) AS maybe_dup
+               coalesce(bl.maybe_dup, false) AS maybe_dup,
+               qf.q_threshold, qf.q_keep
         FROM c4
         JOIN sp USING (doc_id)
         JOIN pg USING (doc_id)
         JOIN mx USING (doc_id)
         LEFT JOIN bl USING (doc_id)
+        JOIN qf USING (doc_id)
         ORDER BY c4.doc_id
     """

@@ -53,6 +53,17 @@ def test_curation_docs_equals_parts(ray_session):
     assert (even["n_hit_bits"] == -1).all()
     assert (~even["maybe_dup"]).all()
 
+    # the r4 sixth branch: the quantile-filter verdict columns
+    from lexor_ray.ops.sketch import quantile_filter
+
+    qf = quantile_filter(SF).to_pandas().set_index("doc_id").sort_index()
+    pd.testing.assert_series_equal(
+        wide["q_threshold"], qf["threshold"], check_names=False
+    )
+    pd.testing.assert_series_equal(
+        wide["q_keep"], qf["keep"], check_names=False
+    )
+
 
 def test_events_windows_equals_parts(ray_session):
     from lexor_ray.ops.relational import (
