@@ -336,6 +336,47 @@ def write_partitioned(ds, out_dir: str, partition_cols: list[str]):
     return out_dir
 
 
+def ensure_fsspec_http_probe() -> None:
+    """Make Ray's per-write `fsspec.implementations.http` probe
+    race-free under threads. When aiohttp is absent that import FAILS,
+    Python evicts the partial module, and every thread re-attempts it
+    — two concurrent attempts race into a non-ModuleNotFoundError
+    ImportError that Ray's probe doesn't catch. Register a stub module
+    with an HTTPFileSystem sentinel class once: the probe then
+    succeeds and its isinstance check is correctly False for real
+    filesystems. Shared by run_extraction(max_in_flight>1) and the
+    overlapped tools/check_correctness.py gate."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except ModuleNotFoundError:
+        import sys as _sys
+        import types as _types
+
+        _stub = _types.ModuleType("fsspec.implementations.http")
+        _stub.__doc__ = (
+            "lexor_ray SENTINEL module (pipeline.ensure_fsspec_http_probe): "
+            "aiohttp is absent so the real fsspec http module cannot "
+            "import; this stub exists ONLY so Ray's per-write "
+            "isinstance probe succeeds race-free. Any attempt to "
+            "actually USE the filesystem raises ImportError."
+        )
+
+        class _HTTPFileSystemSentinel:
+            """Probe-only stand-in — ``isinstance(fs, HTTPFileSystem)``
+            is correctly False for every real filesystem, and real
+            use fails LOUDLY instead of silently (ADVICE r2 fix)."""
+
+            def __init__(self, *a, **kw):
+                raise ImportError(
+                    "fsspec.implementations.http is a lexor_ray probe "
+                    "sentinel: aiohttp is not installed, so the real "
+                    "HTTPFileSystem is unavailable in this environment"
+                )
+
+        _stub.HTTPFileSystem = _HTTPFileSystemSentinel
+        _sys.modules["fsspec.implementations.http"] = _stub
+
+
 def _chunks(seq, size):
     for i in range(0, len(seq), size):
         yield seq[i : i + size]
@@ -430,43 +471,7 @@ def run_extraction(
     else:
         from concurrent.futures import ThreadPoolExecutor
 
-        # Ray's write path probes `fsspec.implementations.http` per
-        # write. When aiohttp is absent that import FAILS, Python
-        # evicts the partial module, and every thread re-attempts it —
-        # two concurrent attempts race into a non-ModuleNotFoundError
-        # ImportError that Ray's probe doesn't catch. Register a stub
-        # module with an HTTPFileSystem sentinel class once: the probe
-        # then succeeds and its isinstance check is correctly False
-        # for real filesystems.
-        try:
-            from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
-        except ModuleNotFoundError:
-            import sys as _sys
-            import types as _types
-
-            _stub = _types.ModuleType("fsspec.implementations.http")
-            _stub.__doc__ = (
-                "lexor_ray SENTINEL module (pipeline.run_extraction): "
-                "aiohttp is absent so the real fsspec http module cannot "
-                "import; this stub exists ONLY so Ray's per-write "
-                "isinstance probe succeeds race-free. Any attempt to "
-                "actually USE the filesystem raises ImportError."
-            )
-
-            class _HTTPFileSystemSentinel:
-                """Probe-only stand-in — ``isinstance(fs, HTTPFileSystem)``
-                is correctly False for every real filesystem, and real
-                use fails LOUDLY instead of silently (ADVICE r2 fix)."""
-
-                def __init__(self, *a, **kw):
-                    raise ImportError(
-                        "fsspec.implementations.http is a lexor_ray probe "
-                        "sentinel: aiohttp is not installed, so the real "
-                        "HTTPFileSystem is unavailable in this environment"
-                    )
-
-            _stub.HTTPFileSystem = _HTTPFileSystemSentinel
-            _sys.modules["fsspec.implementations.http"] = _stub
+        ensure_fsspec_http_probe()
 
         with ThreadPoolExecutor(max_workers=max_in_flight) as pool:
             for rows in pool.map(lambda j: process(*j), jobs):
