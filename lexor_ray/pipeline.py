@@ -91,11 +91,13 @@ class ExtractBatch:
         emit_log: bool = True,
         emit_lineage: bool = True,
         max_batch_chars: int = 8_000_000,
+        carry_source: bool = True,
     ) -> None:
         self.extractor = Extractor(dialect)
         self.emit_log = emit_log
         self.emit_lineage = emit_lineage
         self.max_batch_chars = max_batch_chars
+        self.carry_source = carry_source
         self._rule_index = {n: i for i, n in enumerate(self.RULE_NAMES)}
 
     def __call__(self, batch: pa.Table):
@@ -146,6 +148,14 @@ class ExtractBatch:
                     idx = rule_index.get(rname)
                     if idx is not None:
                         hit_vecs[i, idx] = cnt
+        if not self.carry_source:
+            # production shape: the source text already lives in the
+            # input table and spans index into it — re-emitting it
+            # roughly doubles write/emission bytes per turn (measured
+            # 371→202 MB at 2M turns; BENCH/BASELINE.md r4)
+            batch = batch.select(
+                [c for c in batch.column_names if c != "text"]
+            )
         struct = pa.StructArray.from_arrays(
             [pa.array(flat_start, type=pa.int64()), pa.array(flat_end, type=pa.int64())],
             ["start", "end"],
@@ -182,8 +192,10 @@ def default_concurrency() -> int:
 _WORKER_EXTRACTORS: dict[tuple, "ExtractBatch"] = {}
 
 
-def _extract_batches(batch, dialect, emit_log, emit_lineage, max_batch_chars):
-    key = (dialect, emit_log, emit_lineage, max_batch_chars)
+def _extract_batches(
+    batch, dialect, emit_log, emit_lineage, max_batch_chars, carry_source=True
+):
+    key = (dialect, emit_log, emit_lineage, max_batch_chars, carry_source)
     ex = _WORKER_EXTRACTORS.get(key)
     if ex is None:
         ex = _WORKER_EXTRACTORS[key] = ExtractBatch(
@@ -191,6 +203,7 @@ def _extract_batches(batch, dialect, emit_log, emit_lineage, max_batch_chars):
             emit_log=emit_log,
             emit_lineage=emit_lineage,
             max_batch_chars=max_batch_chars,
+            carry_source=carry_source,
         )
     yield from ex(batch)
 
@@ -204,8 +217,14 @@ def extract_ds(
     emit_lineage: bool = True,
     max_batch_chars: int = 8_000_000,
     use_actors: bool = False,
+    carry_source: bool = True,
 ):
     """Attach the fused extraction stage to a transcripts Dataset.
+
+    ``carry_source=False`` drops the source ``text`` column from the
+    output (the input table already holds it; spans index into it) —
+    the production-sink shape, cutting emission/write bytes per turn
+    nearly in half on this corpus.
 
     Default path: stateless tasks with a per-worker extractor cache
     (state amortized per worker process, elastic scheduling).
@@ -227,6 +246,7 @@ def extract_ds(
                 emit_log=emit_log,
                 emit_lineage=emit_lineage,
                 max_batch_chars=max_batch_chars,
+                carry_source=carry_source,
             ),
             batch_format="pyarrow",
             batch_size=batch_size,
@@ -239,6 +259,7 @@ def extract_ds(
         emit_log=emit_log,
         emit_lineage=emit_lineage,
         max_batch_chars=max_batch_chars,
+        carry_source=carry_source,
     )
     return ds.map_batches(
         fn, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
@@ -390,6 +411,7 @@ def run_extraction(
     batch_size: int = 1024,
     concurrency=None,
     max_in_flight: int = 2,
+    carry_source: bool = False,
 ) -> dict:
     """Process a directory (or file) of transcripts parquet in
     deterministic chunks of input files. Completed chunks are recorded
@@ -447,7 +469,11 @@ def run_extraction(
             shutil.rmtree(tmp)
         ds = read_transcripts(chunk)
         ds = extract_ds(
-            ds, dialect=dialect, batch_size=batch_size, concurrency=concurrency
+            ds,
+            dialect=dialect,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            carry_source=carry_source,
         )
         # NOTE (measured, BENCH/BASELINE.md soak): a materialize-once
         # tier that fed both the write and the lineage partials from
