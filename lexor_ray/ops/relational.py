@@ -31,6 +31,26 @@ HEAVY_KEY_THRESHOLD = 5_000_000
 HEAVY_SLICE_S = 86_400
 
 
+def _events_heavy_keys(sf_dir: str, threshold: int):
+    """Heavy-user pre-count for the events table, gated on parquet
+    METADATA first: when the table's total row count is below the
+    threshold no key can possibly be heavy, so the pre-count scan is
+    skipped outright (zero cost at test/bench scales — the guard only
+    pays its one column scan where it can matter)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .util import heavy_keys, tbl
+
+    md = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata
+    if md.num_rows < threshold:
+        return pd.DataFrame({"user_id": pd.Series([], dtype="int64")})
+    return heavy_keys(
+        tbl(sf_dir, "events", columns=["user_id"]), "user_id", threshold
+    )
+
+
 def _with_heavy_slice(ds, heavy_ids: np.ndarray, slice_width_s: int, slot: str):
     """Append ``__slice`` (0 for light keys; 1 + ts_us // width for
     flagged heavy keys — time partitioned, so per-(user, slice) groups
@@ -502,12 +522,10 @@ def top_events_per_user(
     top-ks), then one tiny keyed pass re-ranks the ≤ k·n_slices
     candidates. With no heavy keys the single-pass path runs
     unchanged."""
-    from .util import coarse_apply, heavy_keys
+    from .util import coarse_apply
 
     ds = tbl(sf_dir, "events", columns=["user_id", "event_id", "ts"])
-    heavy = heavy_keys(
-        tbl(sf_dir, "events", columns=["user_id"]), "user_id", heavy_threshold
-    )
+    heavy = _events_heavy_keys(sf_dir, heavy_threshold)
 
     def topk(bucket: pd.DataFrame, by: list[str], ts_col: str) -> pd.DataFrame:
         if len(bucket) == 0:
@@ -697,12 +715,10 @@ def events_sessionize(
     merge, and the merge rule is the same gap rule applied to session
     intervals. With no heavy keys (every driver sf) the single-pass
     path runs unchanged."""
-    from .util import coarse_apply, heavy_keys
+    from .util import coarse_apply
 
     ds = tbl(sf_dir, "events", columns=["user_id", "ts"])
-    heavy = heavy_keys(
-        tbl(sf_dir, "events", columns=["user_id"]), "user_id", heavy_threshold
-    )
+    heavy = _events_heavy_keys(sf_dir, heavy_threshold)
 
     def sessions(bucket: pd.DataFrame, by: list[str]) -> pd.DataFrame:
         if len(bucket) == 0:
@@ -794,15 +810,13 @@ def events_asof_join(
     keyed passes over per-slice summary rows (one row per (user,
     slice)), never over the raw events. With no heavy keys (every
     driver sf) the single-pass path runs unchanged."""
-    from .util import coarse_apply, heavy_keys
+    from .util import coarse_apply
 
     ds = tbl(
         sf_dir, "events",
         columns=["event_id", "user_id", "ts", "event_type", "value"],
     )
-    heavy = heavy_keys(
-        tbl(sf_dir, "events", columns=["user_id"]), "user_id", heavy_threshold
-    )
+    heavy = _events_heavy_keys(sf_dir, heavy_threshold)
 
     def _final(event_id, user_id, value) -> pd.DataFrame:
         return pd.DataFrame(
