@@ -343,6 +343,15 @@ def main(argv=None) -> int:
         "`lexor lang` display, lexor/command/lang.py:140-173) and exit",
     )
     ap.add_argument(
+        "--defaults",
+        metavar="SECTION",
+        help="print the resolved default values for a style/config "
+        "section (the reference's `lexor defaults` command, "
+        "lexor/command/defaults.py:39-51): module DEFAULTS first, "
+        "then config-file overrides; prints NO DEFAULTS when the "
+        "section is unknown",
+    )
+    ap.add_argument(
         "--install",
         metavar="STYLE.py",
         help="install a style module (a Python file defining DIALECT/"
@@ -405,6 +414,17 @@ def main(argv=None) -> int:
                 for f in sorted(os.listdir(sdir)):
                     if f.endswith(".py"):
                         print(f"{f[:-3]}\tinstalled\t{os.path.join(sdir, f)}")
+        return 0
+
+    if args.defaults:
+        from .config import style_defaults
+
+        vals = style_defaults(args.defaults)
+        if not vals:
+            print("NO DEFAULTS")
+        else:
+            for key in sorted(vals):
+                print(f"{key} = {vals[key]!r}")
         return 0
 
     if args.install:

@@ -248,3 +248,22 @@ def test_cli_document_command(capsys):
     assert "# dialect `html-text`" in out
     assert "node parsers" in out
     assert "converter rules" in out
+
+
+def test_cli_defaults_command(capsys=None):
+    """The reference's `lexor defaults` restated: print a section's
+    resolved default values; unknown sections say NO DEFAULTS."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "lexor_ray", "--defaults",
+         "html-writer-markdown"],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    assert "width = '70'" in out
+    out = subprocess.run(
+        [sys.executable, "-m", "lexor_ray", "--defaults", "nope"],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    assert out.strip() == "NO DEFAULTS"
