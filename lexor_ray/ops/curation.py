@@ -144,7 +144,7 @@ def curation_docs(
             batch_format="pyarrow",
         ),
     ]
-    # run the five branches as SEPARATE bounded DAGs: one streaming DAG
+    # run the six branches as SEPARATE bounded DAGs: one streaming DAG
     # holding all ~13 of their all-to-all operators at once contends
     # for aggregator CPU and runs ~4× slower than the branches
     # sequentially (measured; same failure family as CLAUDE.md's
@@ -155,7 +155,7 @@ def curation_docs(
     tagged = mats[0]
     for p in mats[1:]:
         tagged = tagged.union(p)
-    # the 5-way union multiplies block count (each branch ends in its
+    # the 6-way union multiplies block count (each branch ends in its
     # own shuffle); collapse before the pivot shuffle or the final
     # groupby is task-launch-bound (CLAUDE.md union/block-count rule)
     tagged = tagged.repartition(16)

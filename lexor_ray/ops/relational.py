@@ -41,7 +41,7 @@ def _events_heavy_keys(sf_dir: str, threshold: int):
 
     import pyarrow.parquet as pq
 
-    from .util import heavy_keys, tbl
+    from .util import heavy_keys
 
     md = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata
     if md.num_rows < threshold:
@@ -913,7 +913,10 @@ def events_asof_join(
         hp = bucket[(bucket["event_type"] == "purchase") & (bucket["__slice"] > 0)]
         if len(hp):
             hp = hp.sort_values("ts", kind="mergesort")
-            last = hp.groupby(["user_id", "__slice"], sort=False).last().reset_index()
+            # last ROW per group — groupby(...).last() takes the last
+            # NON-NULL per column, which would pair a NaN-valued final
+            # purchase's ts with an EARLIER purchase's value (r4 review)
+            last = hp.drop_duplicates(["user_id", "__slice"], keep="last")
             outs.append(
                 _wide(
                     "p", 0, last["user_id"], last["__slice"],

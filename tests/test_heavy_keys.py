@@ -45,12 +45,22 @@ def bot_events(tmp_path_factory):
         eid += 1
 
     t = base
+    n_extra = 0
     for i in range(5000):
         t += 200_000_000  # 200 s
         if i % 400 == 399:
             t += 1_000_000_000  # 1000 s idle: a true session break
         et = "purchase" if i % 97 == 0 else "click"
-        add(t, BOT, et, float(i % 50) + 0.25)
+        if et == "purchase" and i % 291 == 0:
+            # a valued purchase IMMEDIATELY followed (same slice) by a
+            # NaN-valued one: the slice-last purchase row must carry
+            # the NaN, not splice the earlier value onto the later ts
+            # (r4 review: groupby(...).last() skips NaN per column)
+            add(t - 10_000_000, BOT, et, float(i % 50) + 0.25)
+            n_extra += 1
+            add(t, BOT, et, float("nan"))
+        else:
+            add(t, BOT, et, float(i % 50) + 0.25)
     for u in range(100):
         tu = base + int(rng.integers(0, 5_000_000)) * 1_000_000
         for j in range(50):
@@ -78,7 +88,7 @@ def test_heavy_precount_flags_exactly_the_bot(ray_session, bot_events):
         tbl(bot_events, "events", columns=["user_id"]), "user_id", THRESH
     )
     assert h["user_id"].tolist() == [BOT]
-    assert int(h["n"].iloc[0]) == 5000
+    assert int(h["n"].iloc[0]) == 5018  # 5000 + 18 planted NaN pairs
 
 
 def test_slicing_bounds_per_task_rows(bot_events):
@@ -88,8 +98,8 @@ def test_slicing_bounds_per_task_rows(bot_events):
     bot = df[df["user_id"] == BOT]
     ts_us = bot["ts"].astype("datetime64[us]").astype("int64")
     per_slice = (ts_us // (SLICE_S * 1_000_000)).value_counts()
-    assert len(bot) == 5000  # one task's load without the guard
-    assert per_slice.max() <= SLICE_S // 200 + 1  # ~18 rows per task
+    assert len(bot) == 5018  # one task's load without the guard
+    assert per_slice.max() <= SLICE_S // 200 + 2  # ~18 rows per task
 
 
 def _sorted(df, cols):

@@ -133,8 +133,16 @@ def main() -> int:
     # order regardless of completion order.
     workers = int(os.environ.get("GATE_WORKERS", "6"))
     failed = []
+
+    def emit(res: tuple[str, str, bool]) -> None:
+        name, line, ok = res
+        print(line, flush=True)
+        if not ok:
+            failed.append(name)
+
     if workers <= 1 or len(names) <= 1:
-        results = [run_one(n) for n in names]
+        for n in names:
+            emit(run_one(n))
     else:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -145,11 +153,13 @@ def main() -> int:
         # aiohttp is absent (see pipeline.ensure_fsspec_http_probe)
         ensure_fsspec_http_probe()
         with ThreadPoolExecutor(max_workers=workers) as ex:
-            results = list(ex.map(run_one, names))
-    for name, line, ok in results:
-        print(line)
-        if not ok:
-            failed.append(name)
+            futs = [ex.submit(run_one, n) for n in names]
+            # stream the ORDERED PREFIX as it completes: a hung query
+            # leaves every earlier line printed (the serial loop's
+            # diagnostic property), instead of buffering everything
+            # behind one list() barrier (r4 review)
+            for f in futs:
+                emit(f.result())
     ray.shutdown()
     if failed:
         print("FAILED:", failed)

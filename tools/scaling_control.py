@@ -39,6 +39,7 @@ def _one_proc(args: tuple[int, int, float]) -> float:
         tbl = tbl[0]
     udf = ExtractBatch("html-text", emit_log=True, emit_lineage=True)
     wait = start_at - time.time()
+    late = max(0.0, -wait)
     if wait > 0:
         time.sleep(wait)
     t0 = time.time()
@@ -48,7 +49,7 @@ def _one_proc(args: tuple[int, int, float]) -> float:
             out_rows += piece.num_rows
     dt = time.time() - t0
     assert out_rows == rows * 3
-    return out_rows / dt
+    return out_rows / dt, late
 
 
 def run(rows: int, procs: int):
@@ -61,8 +62,18 @@ def run(rows: int, procs: int):
     # barrier: generous generation allowance so every child is ready
     start_at = time.time() + 20.0
     with ProcessPoolExecutor(max_workers=procs) as ex:
-        rates = list(
+        out = list(
             ex.map(_one_proc, [(rows, 1000 + i, start_at) for i in range(procs)])
+        )
+    rates = [r for r, _ in out]
+    late = [l for _, l in out if l > 0]
+    if late:
+        # a late child timed against partially idle CPUs — the run's
+        # figure is invalid evidence; fail loudly (r4 review)
+        print(
+            f"WARNING: {len(late)} children missed the start barrier "
+            f"(worst {max(late):.1f}s late) — rerun with fewer rows; "
+            "this measurement is NOT overlap-valid"
         )
     total = float(sum(rates))
     return total, total / procs, rates
