@@ -305,7 +305,11 @@ def dup_passages(sf_dir: str, k: int = 50, key: str = "text"):
                 {
                     "doc_id": pd.Series([], dtype=np.int64),
                     "tok_start": pd.Series([], dtype=np.int64),
-                    "window": pd.Series([], dtype=object),
+                    # dtype must match the non-empty batches' window
+                    # column or the shuffle sees mixed block schemas
+                    "window": pd.Series(
+                        [], dtype=np.uint64 if key == "hash" else object
+                    ),
                 }
             )
         row = np.repeat(np.arange(len(texts)), nw)
@@ -329,7 +333,11 @@ def dup_passages(sf_dir: str, k: int = 50, key: str = "text"):
                 base = np.uint64(0x100000001B3)
                 for j in range(k):
                     h = h * base + th[g + j]
-            win = h.astype(str)
+            # shuffle the raw uint64 — stringifying ~n 20-byte decimal
+            # objects here would inflate shuffle bytes ~2.5× and pay an
+            # object-conversion pass on every window; only the few
+            # duplicated survivors get the string form (in ``decide``)
+            win = h
         else:
             win = flat[g]
             for j in range(1, k):
@@ -353,6 +361,10 @@ def dup_passages(sf_dir: str, k: int = 50, key: str = "text"):
         kept = ~order.duplicated("window")
         out = order[dup_any].copy()
         out["kept"] = kept[dup_any]
+        if out["window"].dtype == np.uint64:
+            # hash tier: the decimal-string form is produced only for
+            # the duplicated survivors (output ∝ duplication, not corpus)
+            out["window"] = out["window"].astype(str)
         return out
 
     return coarse_apply(wins, ["window"], decide)
