@@ -361,6 +361,23 @@ def main(argv=None) -> int:
         "$LEXOR_RAY_STYLE_PATH then ~/.lexor_ray/styles",
     )
     ap.add_argument(
+        "--develop",
+        metavar="STYLE.py",
+        help="register a style module for in-place development: its "
+        "dialect name resolves to this file (before any installed "
+        "copy) via the config file's [develop] section — the "
+        "reference's `lexor develop` command "
+        "(lexor/command/develop.py:29-59)",
+    )
+    ap.add_argument(
+        "--dist",
+        metavar="STYLE.py",
+        help="package a style module plus its aux dir and conformance "
+        "tests into lexor_ray.<lang>.<name>.zip in --out-dir (default "
+        ".) — the reference's `lexor dist` command "
+        "(lexor/command/dist.py:59-103)",
+    )
+    ap.add_argument(
         "--write",
         "-w",
         action="store_true",
@@ -431,6 +448,18 @@ def main(argv=None) -> int:
         from .dialects.registry import install_style
 
         print(install_style(args.install))
+        return 0
+
+    if args.develop:
+        from .dialects.registry import develop_style
+
+        print(develop_style(args.develop))
+        return 0
+
+    if args.dist:
+        from .dialects.registry import dist_style
+
+        print(dist_style(args.dist, args.out_dir or "."))
         return 0
 
     if args.scaffold:

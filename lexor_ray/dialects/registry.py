@@ -193,9 +193,77 @@ def install_style(src: str, styles_dir: str | None = None) -> str:
     return dst
 
 
+def develop_style(src: str, cfg_path: str | None = None) -> str:
+    """Register a style module path for IN-PLACE development: the
+    config file's ``[develop]`` section maps dialect name → source
+    path, and dialect resolution loads the in-development file BEFORE
+    any installed copy — so edits take effect without re-installing.
+    Validates by loading first. Returns a ``name --> path`` summary.
+    (Reference ``develop`` command, ``lexor/command/develop.py:29-59``;
+    develop entries win over installed versions at
+    ``lang.py:145-152``.)"""
+    import os
+
+    from .. import config as _config
+
+    dialects = load_style_file(src)
+    path = cfg_path or _config.config_path() or os.path.join(".", "lexor.config")
+    cfg = _config.read_config(path)
+    if not cfg.has_section("develop"):
+        cfg.add_section("develop")
+    abspath = os.path.abspath(src)
+    for d in dialects:
+        cfg.set("develop", d.name, abspath)
+    with open(path, "w") as fh:
+        cfg.write(fh)
+    return "\n".join(f"{d.name} --> {abspath}" for d in dialects)
+
+
+def dist_style(src: str, out_dir: str = ".") -> str:
+    """Package a style for distribution: validate-by-loading, then zip
+    the style module plus its aux dir (``<name>/*.py``) and sibling
+    conformance tests (``test_<name>.py`` and ``test_<name>/*.py``)
+    as ``lexor_ray.<lang>.<name>.zip`` in ``out_dir``. The produced
+    zip's members install with ``--install`` on the receiving side.
+    Returns the zip path. (Reference ``dist`` command,
+    ``lexor/command/dist.py:59-103`` — same inclusion rules; the
+    reference's INFO-version zip suffix is package versioning here.)"""
+    import os
+    import zipfile
+
+    dialects = load_style_file(src)
+    name = dialects[0].name
+    src = os.path.abspath(src)
+    base = os.path.splitext(src)[0]
+    parent = os.path.dirname(src)
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, f"lexor_ray.{dialects[0].lang}.{name}.zip")
+    with zipfile.ZipFile(out, "w") as z:
+        z.write(src, os.path.basename(src))
+        if os.path.isdir(base):  # aux modules (reference: moddir/*.py)
+            for f in sorted(os.listdir(base)):
+                if f.endswith(".py"):
+                    z.write(
+                        os.path.join(base, f),
+                        os.path.join(os.path.basename(base), f),
+                    )
+        stem = os.path.basename(base)
+        tfile = os.path.join(parent, f"test_{stem}.py")
+        if os.path.exists(tfile):  # the --scaffold sibling test
+            z.write(tfile, os.path.basename(tfile))
+        tdir = os.path.join(parent, f"test_{stem}")
+        if os.path.isdir(tdir):  # reference: test_<name>/*.py
+            for f in sorted(os.listdir(tdir)):
+                if f.endswith(".py"):
+                    z.write(os.path.join(tdir, f), os.path.join(f"test_{stem}", f))
+    return out
+
+
 def _discover_style(name: str) -> bool:
-    """Registry-miss fallback: look for ``<name>.py`` on the styles
-    search path, then scan remaining style modules."""
+    """Registry-miss fallback: the config file's ``[develop]`` entry
+    first (develop wins over installed, reference ``lang.py:145-152``),
+    then ``<name>.py`` on the styles search path, then scan remaining
+    style modules."""
     import os
 
     import warnings
@@ -212,6 +280,14 @@ def _discover_style(name: str) -> bool:
             )
             return False
         return name in _REGISTRY
+
+    from .. import config as _config
+
+    dev = _config.read_config()
+    if dev.has_option("develop", name):
+        cand = dev.get("develop", name)
+        if os.path.exists(cand) and _try(cand):
+            return True
 
     for d in styles_search_path():
         cand = os.path.join(d, f"{name}.py")

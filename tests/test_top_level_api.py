@@ -137,6 +137,61 @@ def test_style_install_and_discovery(tmp_path, monkeypatch, capsys):
     assert res["extracted_text"] == "keep\n"
 
 
+def test_style_develop_and_dist(tmp_path, monkeypatch, capsys):
+    """--develop registers an in-place style path in the config's
+    [develop] section (resolution prefers it over installed copies,
+    reference lang.py:145-152); --dist zips the style with its sibling
+    conformance test (reference dist.py:59-103)."""
+    import zipfile
+
+    import lexor_ray.dialects.registry as reg
+    from lexor_ray.__main__ import main
+    from lexor_ray.extract import extract_one
+
+    src = tmp_path / "devstyle.py"
+    src.write_text(_STYLE_SRC.replace("html-nospoiler", "html-devspoiler"))
+    (tmp_path / "test_devstyle.py").write_text("def test_ok():\n    pass\n")
+    cfgdir = tmp_path / "cfg"
+    cfgdir.mkdir()
+    (cfgdir / "lexor.config").write_text("")
+    monkeypatch.setenv("LEXOR_CONFIG_PATH", str(cfgdir))
+    # no installed copy anywhere
+    monkeypatch.setenv("LEXOR_RAY_STYLE_PATH", str(tmp_path / "styles"))
+    monkeypatch.chdir(tmp_path / "cfg")
+
+    assert main(["--develop", str(src)]) == 0
+    out = capsys.readouterr().out
+    assert f"html-devspoiler --> {src}" in out
+    assert "html-devspoiler" in (cfgdir / "lexor.config").read_text()
+
+    # fresh-process resolution: wipe the in-process registration and
+    # resolve purely via the [develop] entry (no installed file exists)
+    reg._REGISTRY.pop("html-devspoiler", None)
+    d = reg.get_dialect("html-devspoiler")
+    assert "spoiler" in d.drop_classes
+    res = extract_one(
+        '<p>keep</p>\n<div class="spoiler">drop</div>',
+        dialect="html-devspoiler",
+    )
+    assert res["extracted_text"] == "keep\n"
+
+    # edits to the developed file take effect WITHOUT re-registering
+    src.write_text(
+        _STYLE_SRC.replace("html-nospoiler", "html-devspoiler").replace(
+            '{"spoiler"}', '{"spoiler", "promo"}'
+        )
+    )
+    reg._REGISTRY.pop("html-devspoiler", None)
+    assert "promo" in reg.get_dialect("html-devspoiler").drop_classes
+
+    # dist: zip holds the style module + its sibling test
+    assert main(["--dist", str(src), "--out-dir", str(tmp_path / "d")]) == 0
+    zpath = capsys.readouterr().out.strip()
+    assert zpath.endswith("lexor_ray.html.html-devspoiler.zip")
+    names = set(zipfile.ZipFile(zpath).namelist())
+    assert names == {"devstyle.py", "test_devstyle.py"}
+
+
 def test_cli_list_dialects(tmp_path, monkeypatch, capsys):
     """--list shows built-ins and installed styles (the reference's
     `lexor lang` display)."""
