@@ -21,7 +21,7 @@ import re
 
 import pandas as pd
 
-from ..pipeline import extract_ds, read_transcripts, stable_order
+from ..pipeline import extract_ds, read_transcripts
 from ..transcripts import transcripts_for
 from .util import cached
 
@@ -63,14 +63,15 @@ class PiiScrubber:
 def pii_scrub(sf_dir: str):
     """Extract clean text from every turn, then redact emails / phone
     numbers / IPv4s, emitting per-turn PII counts plus the scrubbed
-    text under stable (conv_id, turn_idx) order. Oracle: the identical
+    text, keyed by (conv_id, turn_idx). UNORDERED output (README
+    ordering contract — this is a derived per-turn op, not the
+    extraction comparison surface; its trailing stable_order sort was
+    a pure all-to-all presentation cost). Oracle: the identical
     ``regexp_replace`` chain over the generation-time golden text."""
     src = transcripts_for(sf_dir)
     ds = read_transcripts(src)
     out = extract_ds(ds, batch_size=512, emit_log=False, emit_lineage=False)
-    return stable_order(
-        out.map_batches(
-            lambda b: cached("pii-scrubber", PiiScrubber)(b),
-            batch_format="pandas",
-        )
+    return out.map_batches(
+        lambda b: cached("pii-scrubber", PiiScrubber)(b),
+        batch_format="pandas",
     )
