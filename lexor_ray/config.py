@@ -57,7 +57,11 @@ def config_path() -> str | None:
 
 def read_config(path: str | None = None) -> configparser.ConfigParser:
     """Parse the config file (empty parser when none found)."""
-    cfg = configparser.ConfigParser(allow_no_value=True)
+    # interpolation=None: values are filesystem paths (the [develop]
+    # section stores absolute style paths) — BasicInterpolation would
+    # crash cfg.set()/get() on any '%' in a path; $VAR expansion is
+    # already handled via os.path.expandvars in style_defaults
+    cfg = configparser.ConfigParser(allow_no_value=True, interpolation=None)
     path = path or config_path()
     if path:
         cfg.read(path)

@@ -52,16 +52,21 @@ def _events_heavy_keys(sf_dir: str, threshold: int):
 
 
 def _with_heavy_slice(ds, heavy_ids: np.ndarray, slice_width_s: int, slot: str):
-    """Append ``__slice`` (0 for light keys; 1 + ts_us // width for
-    flagged heavy keys — time partitioned, so per-(user, slice) groups
-    are disjoint in time) for downstream ``coarse_apply`` bucketing on
-    ``[user_id, __slice]``. The heavy-id set broadcasts once."""
+    """Append ``__slice`` (0 for light keys; a biased ts_us // width
+    for flagged heavy keys — time partitioned, so per-(user, slice)
+    groups are disjoint in time) for downstream ``coarse_apply``
+    bucketing on ``[user_id, __slice]``. The heavy-id set broadcasts
+    once. The bias keeps heavy slices ≥ 1 (monotone in ts) even for
+    pre-epoch timestamps, where the raw floor-div goes ≤ 0 and would
+    alias the light sentinel (r4 review); downstream only relies on
+    ``__slice > 0`` ⇔ heavy and slice order ⇔ time order."""
     import ray
 
     from .util import cached_for_ref
 
     h_ref = ray.put(heavy_ids)
     width_us = slice_width_s * 1_000_000
+    bias = 1 - ((-(2**63)) // width_us)  # slice = base + bias ≥ 1 ∀ int64 ts
 
     def add_slice(batch: pd.DataFrame) -> pd.DataFrame:
         hs = cached_for_ref(slot, h_ref, lambda: ray.get(h_ref))
@@ -69,7 +74,7 @@ def _with_heavy_slice(ds, heavy_ids: np.ndarray, slice_width_s: int, slot: str):
         is_h = batch["user_id"].isin(hs).to_numpy()
         batch = batch.copy()
         batch["__slice"] = np.where(
-            is_h, 1 + ts_us.to_numpy() // width_us, 0
+            is_h, ts_us.to_numpy() // width_us + bias, 0
         )
         return batch
 

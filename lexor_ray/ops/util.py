@@ -242,13 +242,17 @@ def heavy_keys(ds, key: str, threshold: int, n_buckets: int = 64):
     whether its hot keys need time-sliced salting."""
     import pandas as pd
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     def partial(batch: pa.Table) -> pa.Table:
-        vc = batch.column(key).to_pandas().value_counts()
+        # arrow-native count: no pandas round-trip, no sort — this
+        # partial scans the FULL keyed table before every guarded
+        # per-key operator, so it must stay zero-copy (r4 review)
+        vc = pc.value_counts(batch.column(key))
         return pa.table(
             {
-                key: pa.array(vc.index.to_numpy()),
-                "n": pa.array(vc.to_numpy(np.int64)),
+                key: vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
             }
         )
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 import re
+import threading
 
 import numpy as np
 import pyarrow as pa
@@ -396,10 +397,22 @@ def sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.01
 
 
+_GEN_LOCK = threading.Lock()
+
+
 def transcripts_dir(sf: float, base: str = DEFAULT_BASE, seed: int = SEED) -> str:
     """Directory of transcripts parquet for scale ``sf``; generated on
     first use (multiple files so chunked/resumable runs have >1 input
-    fragment)."""
+    fragment). Serialized under a module lock: concurrent callers (the
+    overlapped correctness gate runs queries from GATE_WORKERS
+    threads) must not race the check → rmtree-stale → regenerate
+    sequence, or one thread truncates files another is reading
+    (r4 review)."""
+    with _GEN_LOCK:
+        return _transcripts_dir_locked(sf, base, seed)
+
+
+def _transcripts_dir_locked(sf: float, base: str, seed: int) -> str:
     n = sf_to_turns(sf)
     out = os.path.join(base, f"sf{sf:g}", "transcripts")
     marker = os.path.join(out, "_DONE")

@@ -147,6 +147,73 @@ def test_asof_guarded_equals_unguarded(ray_session, bot_events):
     assert (~has_purch).sum() > 50  # many purchaseless slices
 
 
+@pytest.fixture(scope="module")
+def pre_epoch_bot(tmp_path_factory):
+    """A flagged heavy user whose stream STARTS BEFORE THE EPOCH: the
+    raw ``1 + ts_us // width`` slice salt goes ≤ 0 there and aliases
+    the light sentinel, silently dropping those rows from the asof
+    cross-slice repair (r4 review). One pre-epoch purchase is the only
+    purchase before a long run of post-epoch clicks, so the guarded
+    path must carry it across the epoch boundary."""
+    rows = {"event_id": [], "ts": [], "user_id": [], "event_type": [], "value": []}
+
+    def add(eid, ts_us, uid, et, val):
+        rows["event_id"].append(eid)
+        rows["ts"].append(ts_us)
+        rows["user_id"].append(uid)
+        rows["event_type"].append(et)
+        rows["value"].append(val)
+
+    eid = 0
+    t = -2_000 * 200_000_000  # ~4.6 days before the epoch
+    for i in range(4000):  # bot spans pre- -> post-epoch
+        t += 200_000_000
+        et = "purchase" if i == 100 else "click"  # single pre-epoch purchase
+        add(eid, t, BOT, et, 42.25 if et == "purchase" else float(i))
+        eid += 1
+    for u in range(20):  # light users keep the pre-count honest
+        for j in range(30):
+            add(eid, (u * 30 + j) * 1_000_000_000, 100 + u,
+                "purchase" if j % 7 == 0 else "click", float(j))
+            eid += 1
+    d = tmp_path_factory.mktemp("preepoch")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(rows["event_id"], pa.int64()),
+                "ts": pa.array(rows["ts"], pa.timestamp("us")),
+                "user_id": pa.array(rows["user_id"], pa.int64()),
+                "event_type": pa.array(rows["event_type"], pa.string()),
+                "value": pa.array(rows["value"], pa.float64()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    return str(d)
+
+
+def test_pre_epoch_heavy_user_asof_and_sessions(ray_session, pre_epoch_bot):
+    g_asof = events_asof_join(
+        pre_epoch_bot, heavy_threshold=THRESH, slice_width_s=SLICE_S
+    ).to_pandas()
+    p_asof = events_asof_join(pre_epoch_bot, heavy_threshold=10**9).to_pandas()
+    pd.testing.assert_frame_equal(
+        _sorted(g_asof, ["event_id"]), _sorted(p_asof, ["event_id"]),
+        check_dtype=False,
+    )
+    # the pre-epoch purchase value really is carried to post-epoch clicks
+    bot_last = _sorted(g_asof[g_asof["user_id"] == BOT], ["event_id"])
+    assert bot_last["last_purchase_value"].iloc[-1] == 42.25
+    g_sess = events_sessionize(
+        pre_epoch_bot, heavy_threshold=THRESH, slice_width_s=SLICE_S
+    ).to_pandas()
+    p_sess = events_sessionize(pre_epoch_bot, heavy_threshold=10**9).to_pandas()
+    cols = ["user_id", "session_start"]
+    pd.testing.assert_frame_equal(
+        _sorted(g_sess, cols), _sorted(p_sess, cols), check_dtype=False
+    )
+
+
 def test_topk_guarded_equals_unguarded(ray_session, bot_events):
     guarded = top_events_per_user(
         bot_events, k=3, heavy_threshold=THRESH, slice_width_s=SLICE_S

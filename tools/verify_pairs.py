@@ -55,10 +55,12 @@ def exact_pairs(sf_dir: str, threshold: float, k: int = 3) -> pd.DataFrame:
              "jaccard": pd.Series([], dtype="float64")}
         )
     flat = np.concatenate(keys)
-    counts = np.bincount(flat, minlength=0)
-    nz = np.flatnonzero(counts)
+    # unique, not bincount: a dense count array spans the n^2 packed
+    # key space (~20 GB at 50k docs) while the emitted pair keys are
+    # few; unique's memory is proportional to len(flat) (r4 review)
+    nz, cnt = np.unique(flat, return_counts=True)
     ai, bi = nz // n, nz % n
-    inter = counts[nz].astype(np.float64)
+    inter = cnt.astype(np.float64)
     union = sizes[ai] + sizes[bi] - inter
     jac = inter / union
     keep = jac >= threshold
