@@ -85,20 +85,39 @@ def _benchmark_state(sf_dir: str) -> tuple[list[str], list[str]]:
             }
         )
 
-    rows = ds.map_batches(pick, batch_format="pandas").take_all()
-    snip_rows = sorted(
-        ((r["doc_id"], r["payload"]) for r in rows if r["kind"] == 0)
-    )
-    grams = sorted({r["payload"] for r in rows if r["kind"] == 1})
-    if len(snip_rows) > MAX_SNIPPETS or len(grams) > MAX_SNIPPETS * 100:
-        raise ValueError(
-            f"derived benchmark set has {len(snip_rows)} snippets / "
-            f"{len(grams)} grams (> {MAX_SNIPPETS}-scale); "
-            "decontaminate() broadcasts the benchmark side and requires "
-            "it to be eval-suite-sized — feed a real (small) benchmark "
-            "table at this scale"
+    # stream the collect with a RUNNING cap instead of take_all():
+    # the refusal must fire while at most one over-cap block is on the
+    # driver, not after the full derived set has materialized — on a
+    # corpus where doc_id % 97 yields millions of donors, take_all()
+    # would hit the OOM this guard exists to prevent before the
+    # ValueError could be raised (r4 review). Pre-dedup row counts are
+    # the right cap metric: they are exactly the volume the driver
+    # holds. Backpressure bounds in-flight blocks once iteration stops.
+    snip_rows: list[tuple[int, str]] = []
+    gram_set: set[str] = set()
+    n_gram_rows = 0
+    for batch in ds.map_batches(pick, batch_format="pandas").iter_batches(
+        batch_format="pandas"
+    ):
+        is_snip = batch["kind"].to_numpy() == 0
+        snip_rows.extend(
+            zip(
+                batch["doc_id"].to_numpy()[is_snip].tolist(),
+                batch["payload"].to_numpy()[is_snip].tolist(),
+            )
         )
-    return [s for _, s in snip_rows], grams
+        n_gram_rows += int((~is_snip).sum())
+        gram_set.update(batch["payload"].to_numpy()[~is_snip].tolist())
+        if len(snip_rows) > MAX_SNIPPETS or n_gram_rows > MAX_SNIPPETS * 100:
+            raise ValueError(
+                f"derived benchmark set has ≥{len(snip_rows)} snippets / "
+                f"≥{n_gram_rows} gram rows (> {MAX_SNIPPETS}-scale); "
+                "decontaminate() broadcasts the benchmark side and requires "
+                "it to be eval-suite-sized — feed a real (small) benchmark "
+                "table at this scale"
+            )
+    snip_rows.sort()
+    return [s for _, s in snip_rows], sorted(gram_set)
 
 
 def benchmark_snippets(sf_dir: str) -> list[str]:

@@ -775,7 +775,9 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8, max_rounds: int = 10):
     pairs = pairs.materialize()
     if pairs.count() > _SMALL_PAIR_LIMIT:
         # measured-large: fully distributed components, no driver map
-        return cluster_pairs_distributed(pairs)
+        # (max_rounds forwarded — r4 review: it was silently dropped
+        # on exactly the tier where rounds are most expensive)
+        return cluster_pairs_distributed(pairs, max_rounds=max_rounds)
     return cluster_pairs(pairs.to_pandas(), max_rounds=max_rounds)
 
 

@@ -286,21 +286,21 @@ class StubDecoder:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # materialize the wide binary column out of Arrow ONCE — it is
+        # the dominant per-batch allocation on this stage (r4 review:
+        # a second to_pylist for n_bytes doubled it)
+        payloads = batch.column("payload").to_pylist()
         feats = np.stack(
             [
                 self.decode_features(p, m)
-                for p, m in zip(
-                    batch.column("payload").to_pylist(),
-                    batch.column("media_type").to_pylist(),
-                )
+                for p, m in zip(payloads, batch.column("media_type").to_pylist())
             ]
         )
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "n_bytes": pa.array(
-                    [len(p) for p in batch.column("payload").to_pylist()],
-                    type=pa.int64(),
+                    [len(p) for p in payloads], type=pa.int64()
                 ),
                 "features": pa.FixedSizeListArray.from_arrays(
                     pa.array(feats.reshape(-1), type=pa.float32()), self.feature_dim
@@ -352,9 +352,10 @@ def frame_sample(sf_dir: str, frame_bytes: int = 16, every_k: int = 4):
             }
         )
 
-    return ds.map_batches(sample, batch_format="pyarrow", batch_size=64).sort(
-        ["doc_id", "frame_idx"]
-    )
+    # UNORDERED output (README ordering contract): the trailing
+    # (doc_id, frame_idx) sort was a presentation all-to-all — the
+    # driver compare is order-insensitive and consumers key by doc_id.
+    return ds.map_batches(sample, batch_format="pyarrow", batch_size=64)
 
 
 def resize_media(sf_dir: str, out_w: int = 4, out_h: int = 4):
@@ -434,9 +435,9 @@ def media_pipeline(sf_dir: str, frame_bytes: int = 16, every_k: int = 4,
             }
         )
 
-    return ds.map_batches(stage, batch_format="pyarrow", batch_size=64).sort(
-        "doc_id"
-    )
+    # UNORDERED output (README ordering contract; same presentation-
+    # sort removal as token_counts/pii_scrub in r3/r4).
+    return ds.map_batches(stage, batch_format="pyarrow", batch_size=64)
 
 
 def media_byte_totals(sf_dir: str):

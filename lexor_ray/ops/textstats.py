@@ -39,18 +39,42 @@ def token_counts(sf_dir: str):
     return ds.map_batches(counts, batch_format="pyarrow")
 
 
+# Char classes shared by the arrow kernels (_quality_signals), the
+# pandas fused scans (_pd_quality_signals, QualityScorer) and —
+# textually — the DuckDB oracles. Single source of truth: every
+# Python-side count of these classes must reference these names
+# (r4 review: inline copies had already crept into two fused ops).
+RE_WORD = r"\S+"
+RE_PUNCT = r"[!-/:-@\[-`{-~]"
+RE_DIGIT = r"[0-9]"
+RE_UPPER = r"[A-Z]"
+
+
 def _quality_signals(text: "pa.ChunkedArray") -> dict:
     """Shared integer quality kernels — single source of truth for
     the char classes used by quality_counts AND the quality filter
     (and mirrored in their DuckDB oracles)."""
     return {
         "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
-        "n_words": pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()),
+        "n_words": pc.cast(pc.count_substring_regex(text, RE_WORD), pa.int64()),
         "n_punct": pc.cast(
-            pc.count_substring_regex(text, r"[!-/:-@\[-`{-~]"), pa.int64()
+            pc.count_substring_regex(text, RE_PUNCT), pa.int64()
         ),
-        "n_digits": pc.cast(pc.count_substring_regex(text, r"[0-9]"), pa.int64()),
-        "n_upper": pc.cast(pc.count_substring_regex(text, r"[A-Z]"), pa.int64()),
+        "n_digits": pc.cast(pc.count_substring_regex(text, RE_DIGIT), pa.int64()),
+        "n_upper": pc.cast(pc.count_substring_regex(text, RE_UPPER), pa.int64()),
+    }
+
+
+def _pd_quality_signals(texts: "pd.Series") -> dict:
+    """pandas mirror of :func:`_quality_signals` for the fused scans
+    that already work in pandas (same char classes by construction;
+    ``texts`` must be pre-``fillna("")``)."""
+    return {
+        "n_chars": texts.str.len().astype("int64"),
+        "n_words": texts.str.count(RE_WORD).astype("int64"),
+        "n_punct": texts.str.count(RE_PUNCT).astype("int64"),
+        "n_digits": texts.str.count(RE_DIGIT).astype("int64"),
+        "n_upper": texts.str.count(RE_UPPER).astype("int64"),
     }
 
 
@@ -122,7 +146,7 @@ class QualityScorer:
         ) / n_words
         mean_wlen = words.map(lambda ws: sum(map(len, ws))).astype(float) / n_words
         n_chars = texts.str.len().clip(lower=1)
-        punct_ratio = texts.str.count(r"[!-/:-@\[-`{-~]") / n_chars
+        punct_ratio = texts.str.count(RE_PUNCT) / n_chars
         score = (
             0.35 * stop_ratio.clip(0, 0.6) / 0.6
             + 0.25 * (1 - (mean_wlen - 5).abs().clip(0, 5) / 5)
@@ -294,14 +318,11 @@ def quality_filter_scores(
 
     def both(batch: pd.DataFrame) -> pd.DataFrame:
         out = cached("quality-scorer", QualityScorer)(batch)
-        texts = batch["text"].fillna("")
-        n_chars = texts.str.len().astype("int64")
-        n_words = texts.str.count(r"\S+").astype("int64")
-        n_punct = texts.str.count(r"[!-/:-@\[-`{-~]").astype("int64")
-        out["n_words"] = n_words
-        out["n_punct"] = n_punct
-        out["passes"] = (n_words >= min_words) & (
-            n_punct * 100 <= n_chars * max_punct_pct
+        sig = _pd_quality_signals(batch["text"].fillna(""))
+        out["n_words"] = sig["n_words"]
+        out["n_punct"] = sig["n_punct"]
+        out["passes"] = (sig["n_words"] >= min_words) & (
+            sig["n_punct"] * 100 <= sig["n_chars"] * max_punct_pct
         )
         return out
 
@@ -510,7 +531,7 @@ def _tfidf_joined(ds, df_ds, n_docs: int, top_k: int):
     coarse top-k. No vocabulary ever reaches the driver. Scoring uses
     ``math.log`` cached per distinct df value so the doubles are
     bit-identical to the broadcast tier (and to the DuckDB oracle)."""
-    from .util import bucketed_join, coarse_grouped
+    from .util import bucketed_join, coarse_apply
 
     def tf_rows(batch: pa.Table) -> pa.Table:
         # vectorized per-doc term frequencies (round-2 verdict item 5)
@@ -602,28 +623,37 @@ def _tfidf_joined(ds, df_ds, n_docs: int, top_k: int):
 
     scored = joined.map_batches(score_rows, batch_format="pandas")
 
-    def per_doc_topk(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "source": pd.Series([], dtype=object),
-                "doc_id": pd.Series([], dtype="int64"),
-                "term": pd.Series([], dtype=object),
-                "tfidf": pd.Series([], dtype="float64"),
-            }
-        )
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        # ONE vectorized pass per bucket (sort + C-level groupby.head),
+        # no per-doc Python dispatch — this tier only engages above
+        # vocab_limit, i.e. at huge doc cardinality where per-group
+        # calls dominate. Within-doc order (s desc, term asc,
+        # mergesort-stable) matches the broadcast tier exactly.
         if len(g) == 0:
-            return empty
-        g = g.sort_values(["s", "term"], ascending=[False, True]).head(top_k)
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "term": pd.Series([], dtype=object),
+                    "tfidf": pd.Series([], dtype="float64"),
+                }
+            )
+        g = g.sort_values(
+            ["doc_id", "s", "term"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = g.groupby("doc_id", sort=False).head(top_k)
         return pd.DataFrame(
             {
-                "source": g["source"],
-                "doc_id": g["doc_id"],
-                "term": g["term"],
-                "tfidf": [math.floor(s * 1e6) / 1e6 for s in g["s"]],
+                "source": top["source"],
+                "doc_id": top["doc_id"],
+                "term": top["term"],
+                "tfidf": np.floor(top["s"].to_numpy(np.float64) * 1e6) / 1e6,
             }
         )
 
-    return coarse_grouped(scored, ["doc_id"], per_doc_topk).sort(
+    return coarse_apply(scored, ["doc_id"], bucket_topk).sort(
         ["source", "doc_id", "term"]
     )
 
@@ -758,18 +788,15 @@ def text_quality_stats(sf_dir: str, min_words: int = 20, max_punct_pct: int = 5)
 
     def fused(batch: pd.DataFrame) -> pd.DataFrame:
         out = cached("quality-scorer", QualityScorer)(batch)
-        texts = batch["text"].fillna("")
-        n_chars = texts.str.len().astype("int64")
-        n_words = texts.str.count(r"\S+").astype("int64")
-        n_punct = texts.str.count(r"[!-/:-@\[-`{-~]").astype("int64")
-        out["n_chars"] = n_chars
-        out["n_tokens"] = n_words
-        out["n_digits"] = texts.str.count(r"[0-9]").astype("int64")
-        out["n_upper"] = texts.str.count(r"[A-Z]").astype("int64")
-        out["n_words"] = n_words
-        out["n_punct"] = n_punct
-        out["passes"] = (n_words >= min_words) & (
-            n_punct * 100 <= n_chars * max_punct_pct
+        sig = _pd_quality_signals(batch["text"].fillna(""))
+        out["n_chars"] = sig["n_chars"]
+        out["n_tokens"] = sig["n_words"]
+        out["n_digits"] = sig["n_digits"]
+        out["n_upper"] = sig["n_upper"]
+        out["n_words"] = sig["n_words"]
+        out["n_punct"] = sig["n_punct"]
+        out["passes"] = (sig["n_words"] >= min_words) & (
+            sig["n_punct"] * 100 <= sig["n_chars"] * max_punct_pct
         )
         return out
 
@@ -799,7 +826,14 @@ class GopherNgrams:
         (6, "dup", "dup6_frac"),
     )
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    @staticmethod
+    def _tokenized(batch: pd.DataFrame):
+        """Shared tokenization preamble — (texts, nw, flat, row_of)
+        where ``flat`` is every whitespace token and ``row_of`` its
+        owning row index. One definition for both this class and the
+        fused :class:`GopherQuality` (r4 review: the copy-pasted
+        preamble could drift and break their asserted column
+        identity)."""
         texts = batch["text"].fillna("")
         words = texts.str.split()
         nw = words.map(len).to_numpy(np.int64)
@@ -809,6 +843,10 @@ class GopherNgrams:
             else np.empty(0, dtype=object)
         )
         row_of = np.repeat(np.arange(len(texts)), nw)
+        return texts, nw, flat, row_of
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts, _, flat, row_of = self._tokenized(batch)
         out = {"doc_id": batch["doc_id"].to_numpy()}
         out.update(self._ngram_fracs(texts, flat, row_of))
         return pd.DataFrame(out)
@@ -904,16 +942,8 @@ class GopherQuality(GopherNgrams):
     float division anywhere in a rule."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch["text"].fillna("")
+        texts, nw, flat, row_of = self._tokenized(batch)
         n = len(texts)
-        words = texts.str.split()
-        nw = words.map(len).to_numpy(np.int64)
-        flat = (
-            np.concatenate([np.asarray(w, dtype=object) for w in words])
-            if len(words)
-            else np.empty(0, dtype=object)
-        )
-        row_of = np.repeat(np.arange(n), nw)
         out = {"doc_id": batch["doc_id"].to_numpy()}
         out.update(self._ngram_fracs(texts, flat, row_of))
 

@@ -290,10 +290,12 @@ def test_media_pipeline_consistent_with_components(ray_session):
         resize_media,
     )
 
-    fused = df(media_pipeline(SF)).set_index("doc_id")
-    feats = df(media_features(SF)).set_index("doc_id")
+    # per-doc ops return UNORDERED datasets (README ordering
+    # contract) — align by doc_id before any positional compare
+    fused = df(media_pipeline(SF)).set_index("doc_id").sort_index()
+    feats = df(media_features(SF)).set_index("doc_id").sort_index()
     frames = df(frame_sample(SF)).groupby("doc_id").size()
-    resized = df(resize_media(SF)).set_index("doc_id")
+    resized = df(resize_media(SF)).set_index("doc_id").sort_index()
     assert (fused["n_bytes"] == feats["n_bytes"]).all()
     assert (
         fused["n_frames_sampled"]
