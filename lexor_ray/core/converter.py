@@ -16,8 +16,6 @@ rule table is per-actor state (SURVEY.md §2.7).
 
 from __future__ import annotations
 
-import sys
-
 from .dom import Document, Element, Node
 
 
@@ -49,11 +47,6 @@ class Converter:
         if root_rule.start is not None:
             out = root_rule.start(self, out) or out
         if root_rule.copy_children and doc.child:
-            # transcripts HTML nests shallowly, but tool output can be
-            # pathological; recursion depth == DOM depth.
-            limit = sys.getrecursionlimit()
-            if limit < 20000:
-                sys.setrecursionlimit(20000)
             for ch in doc.child:
                 conv = self._convert_node(ch)
                 if conv is not None:
@@ -66,7 +59,10 @@ class Converter:
             out = done(self, out) or out
         return out
 
-    def _convert_node(self, node: Node) -> Node | None:
+    def _enter(self, node: Node):
+        """Descend step: drop / shallow-clone / start-hook. Returns
+        ``None`` (node + subtree dropped) or ``(clone, rule,
+        child_iterator_or_None)``."""
         rule = self.dialect.convert_rule(node.name)
         if not rule.copy:
             return None  # drop node + subtree (reference Text('') + normalize)
@@ -78,15 +74,51 @@ class Converter:
             and not dc.isdisjoint(node.class_list())
         ):
             return None
-        clone = node.clone_node() if not isinstance(node, Element) else node.clone_node(False)
+        clone = node.clone_node()  # shallow for every node type
         if rule.start is not None:
             clone = rule.start(self, clone) or clone
-        if rule.copy_children and node.child:
-            for ch in node.child:
-                conv = self._convert_node(ch)
-                if conv is not None:
-                    clone.append_child(conv)
+        it = iter(node.child) if rule.copy_children and node.child else None
+        return clone, rule, it
+
+    def _finish(self, clone: Node, rule) -> Node:
+        """Ascend step: end-hook + normalize (converter.py:362)."""
         if rule.end is not None:
             clone = rule.end(self, clone) or clone
-        clone.normalize()  # reference normalizes on ascent (converter.py:362)
+        clone.normalize()
         return clone
+
+    def _convert_node(self, node: Node) -> Node | None:
+        """Iterative (explicit-frame) post-order copy — recursion
+        depth used to equal DOM depth, which on pathological ~20k-deep
+        tool output could overflow the C stack regardless of
+        ``sys.setrecursionlimit`` (r4 review; the writer and the flat
+        scanner were already iterative)."""
+        ent = self._enter(node)
+        if ent is None:
+            return None
+        clone, rule, it = ent
+        if it is None:
+            return self._finish(clone, rule)
+        stack = [(clone, rule, it)]
+        while True:
+            clone, rule, it = stack[-1]
+            descended = False
+            for ch in it:
+                e = self._enter(ch)
+                if e is None:
+                    continue  # dropped subtree
+                c2, r2, it2 = e
+                if it2 is None:  # leaf (or childless / no-copy-children)
+                    done = self._finish(c2, r2)
+                    clone.append_child(done)
+                    continue
+                stack.append((c2, r2, it2))
+                descended = True
+                break
+            if descended:
+                continue
+            stack.pop()
+            done = self._finish(clone, rule)
+            if not stack:
+                return done
+            stack[-1][0].append_child(done)

@@ -268,7 +268,10 @@ class Text(CharacterData):
             self.spans[-1] = (self.spans[-1][0], span[1])
         else:
             self.spans.append(span)
-        self.span = (self.span[0] if self.spans else span[0], span[1])
+        # spans is non-empty here; its first start is the true span
+        # start even when this Text was constructed without a span
+        # (reading self.span[0] there returned a stale 0 — r4 review)
+        self.span = (self.spans[0][0], span[1])
 
     def merge(self, other: "Text") -> None:
         self.data += other.data

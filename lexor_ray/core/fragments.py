@@ -42,8 +42,11 @@ def parse_fragment(text: str, dialect: str = "html") -> list[Node]:
 
 def children_str(el: Element, dialect: str = "html") -> str:
     """Serialize an element's children to markup
-    (``elements.py:431-449`` getter)."""
-    w = Writer()
+    (``elements.py:431-449`` getter) — with the DIALECT's writers,
+    symmetric with :func:`set_children_str` (r4 review: the dialect
+    argument used to be accepted but ignored, always falling back to
+    the dialect-less DefaultWriter)."""
+    w = Writer(_parser(dialect).dialect)
     return "".join(w.write(c) for c in (el.child or []))
 
 

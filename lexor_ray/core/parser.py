@@ -218,6 +218,9 @@ class Parser:
         inner ones auto-close with W100 in innermost-first order."""
         prog = self._in_progress
         num = len(prog)
+        # caret at poll time is the START of the (yet-unconsumed)
+        # close token — the span end for nodes auto-closed by it
+        close_start = self.caret
         autoclose = None
         for node, processor in reversed(prog):
             num -= 1
@@ -237,6 +240,12 @@ class Parser:
                     inner.pos,
                     (inner.name, close_line, close_col),
                 )
+                # auto-closed nodes end where the ancestor's close
+                # token BEGINS (the matched node below ends after it,
+                # since that token is its own) — without this their
+                # span stopped at the open tag, excluding all parsed
+                # content (r4 review; dom.py span contract)
+                inner.span = (inner.span[0], close_start)
                 inner.pos = None
                 del prog[i]
             closed = prog[num][0]

@@ -26,7 +26,7 @@ distributed `map_batches` stage must produce byte-identical output
 from __future__ import annotations
 
 from .core.converter import Converter
-from .core.dom import CharacterData, Document, Entity, Text
+from .core.dom import Document, Entity, Text
 from .core.parser import Parser
 from .dialects.registry import get_dialect
 from .fast_scan import scan_extract as _scan_extract
@@ -106,43 +106,22 @@ class Extractor:
             # real parse path
             and d.parser_mapping == {"__default__": _STOCK_HTML}
         )
-
-    def _extract_fused(self, doc: Document) -> tuple[str, list[tuple[int, int]]]:
-        parts: list[str] = []
-        spans: list[tuple[int, int]] = []
-        drop = self._drop_names
-        drop_pis = self._drop_pis
-        drop_classes = self.parser.dialect.drop_classes
-        stack = list(reversed(doc.child or []))
-        while stack:
-            node = stack.pop()
-            name = node.name
-            if name == "#text":
-                # adjacent runs stay pre-merged by the parser, so the
-                # converter-path normalize() has nothing more to join
-                parts.append(node.data)
-                spans.extend(node.spans)
-                continue
-            if name == "#entity":
-                parts.append(node.data)
-                spans.append(node.span)
-                continue
-            if name in drop or (drop_pis and name.startswith("?")):
-                continue
-            if isinstance(node, CharacterData):
-                continue  # comments/doctype/cdata handled via drop set
-            if (
-                drop_classes
-                and "class" in node.attrs
-                and not drop_classes.isdisjoint(node.class_list())
-            ):
-                continue
-            if node.child:
-                stack.extend(reversed(node.child))
-        return "".join(parts), spans
+        # the markup-free identity shortcut is only valid when nothing
+        # can transform a pure-text document: no lifecycle hooks and a
+        # plain-copy #text rule (r4 review: the shortcut used to
+        # silently bypass hook-bearing dialects; _pure implies this,
+        # but element-rule-bearing dialects still qualify — elements
+        # cannot occur without candidate chars)
+        t_rule = d.convert_rule("#text")
+        self._identity_ok = (
+            not d.hooks
+            and t_rule.copy
+            and t_rule.start is None
+            and t_rule.end is None
+        )
 
     def extract_one(self, text: str, uri: str | None = None) -> dict:
-        if self._cand_re.search(text) is None:
+        if self._identity_ok and self._cand_re.search(text) is None:
             # fast path: none of the dialect's candidate start chars
             # appear — extraction is the identity.
             return {

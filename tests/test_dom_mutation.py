@@ -148,3 +148,47 @@ def test_hooked_dialect_not_fused():
     register_dialect(d)
     assert not Extractor("hooked-html-2")._pure
     assert Extractor("html")._pure
+
+
+def test_children_str_honors_dialect():
+    """children_str serializes with the DIALECT's writers, symmetric
+    with set_children_str (r4 review: the dialect argument used to be
+    ignored, always emitting DefaultWriter XML tags)."""
+    from lexor_ray.core.dom import Element
+
+    el = Element("div")
+    set_children_str(el, "<strong>x</strong> mid", "html-markdown")
+    assert children_str(el, "html-markdown") == "**x** mid"
+    assert children_str(el) == "<strong>x</strong> mid"  # html default
+
+
+def test_identity_fast_path_gated_on_hooks():
+    """A hook-bearing dialect must NOT take the markup-free identity
+    shortcut — its convert_done hook applies to every row (r4
+    review: the shortcut used to bypass hooks silently)."""
+    from lexor_ray.dialects.registry import register_dialect
+    from lexor_ray.extract import Extractor
+
+    def upcase(conv, doc):
+        for n in doc.iter():
+            if n.name == "#text":
+                n.data = n.data.upper()
+        return doc
+
+    base = get_dialect("html-text")
+    register_dialect(
+        Dialect(
+            name="html-text-upcase",
+            lang="html",
+            parser_mapping=base.parser_mapping,
+            converters=base.converters,
+            drop_classes=base.drop_classes,
+            close_prefix=base.close_prefix,
+            hooks={"convert_done": upcase},
+        )
+    )
+    ex = Extractor("html-text-upcase")
+    assert not ex._identity_ok and not ex._pure
+    assert ex.extract_one("plain text")["extracted_text"] == "PLAIN TEXT"
+    # the hookless flagship dialect keeps the shortcut
+    assert Extractor()._identity_ok

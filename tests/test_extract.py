@@ -81,19 +81,24 @@ def test_class_based_boilerplate_drop():
     assert r["extracted_text"] == "ab"
 
 
-def test_fused_path_equals_converter_path():
-    """The fused single-walk extractor must be byte-identical to the
-    full Converter + TextSpanWriter path on random documents."""
+def test_flat_scan_equals_converter_path_on_transcripts():
+    """The production flat scanner must be byte-identical to the full
+    Converter + TextSpanWriter path on random transcript documents
+    (complements tests/test_fast_scan.py's adversarial corpus; this
+    replaced the parity test for the removed _extract_fused third
+    copy of the drop semantics)."""
     from lexor_ray.extract import Extractor, TextSpanWriter
+    from lexor_ray.fast_scan import scan_extract
     from lexor_ray.transcripts import generate_transcripts
 
     ex = Extractor()
     assert ex._pure
     for t in generate_transcripts(300, seed=9).column("text").to_pylist():
-        doc = ex.parser.parse(t)
-        fused = ex._extract_fused(doc)
+        fused = scan_extract(
+            t, ex._drop_names, ex.parser.dialect.drop_classes
+        )[:2]
         full = TextSpanWriter.write(ex.converter.convert(ex.parser.parse(t)))
-        assert fused == full, t[:120]
+        assert fused == tuple(full), t[:120]
 
 
 def test_fast_path_equals_parser_path():
@@ -107,3 +112,20 @@ def test_fast_path_equals_parser_path():
     doc = ex.parser.parse(src)
     slow_out = "".join(n.data for n in doc.iter() if n.name == "#text")
     assert fast["extracted_text"] == slow_out == src
+
+
+def test_deep_nesting_converter_path_iterative():
+    """~20k-deep nesting converts through the full Converter path
+    without recursion (r4 review: recursion depth == DOM depth could
+    overflow the C stack on pathological tool output)."""
+    from lexor_ray.core.converter import Converter
+    from lexor_ray.core.parser import Parser
+    from lexor_ray.dialects.registry import get_dialect
+    from lexor_ray.extract import TextSpanWriter
+
+    d = get_dialect("html-text")
+    depth = 20000
+    doc = Parser(d).parse("<div>" * depth + "x" + "</div>" * depth)
+    text, spans = TextSpanWriter.write(Converter(d).convert(doc))
+    assert text == "x"
+    assert spans == [(5 * depth, 5 * depth + 1)]

@@ -151,3 +151,18 @@ def test_adjacent_text_merging_spans():
     assert len(texts) == 1
     assert texts[0].data == "x < y"
     assert texts[0].spans == [(0, 5)]
+
+
+def test_autoclosed_span_covers_content():
+    """W100 auto-closed elements end where the ancestor's close token
+    BEGINS; matched nodes end after their own close token (r4 review:
+    auto-closed spans used to stop at the open tag, excluding all
+    parsed content)."""
+    p = Parser(get_dialect("html"))
+    src = "<div><i>hello</div>tail"
+    doc = p.parse(src)
+    div = doc.child[0]
+    i_el = div.child[0]
+    assert i_el.name == "i"
+    assert src[i_el.span[0] : i_el.span[1]] == "<i>hello"
+    assert src[div.span[0] : div.span[1]] == "<div><i>hello</div>"
