@@ -10,8 +10,11 @@ directory.
     python -m lexor_ray doc.html --to xml         # normalized XML-ish dump
     python -m lexor_ray doc.html --to md,xml      # multi-target, one parse
                                                   # per target, files beside src
-    python -m lexor_ray doc.html --to 'markdown[width=100]'
-                                                  # style parameters
+    python -m lexor_ray doc.html --to 'markdown[style=custom]'
+                                                  # style parameters (the
+                                                  # reference grammar; built-in
+                                                  # styles never wrap, so
+                                                  # width= is parsed but inert)
     python -m lexor_ray --table IN_DIR --out OUT_DIR [--to text]
                                                   # distributed, resumable
 
@@ -110,7 +113,10 @@ def convert_one(text: str, to: str, lang: str = "html", params: dict | None = No
             raise SystemExit("--to markdown converts HTML input; use --lang html")
         from .dialects.markdown import to_markdown
 
-        return to_markdown(text, width=int(params["width"]) if "width" in params else 70)
+        # params like width= are accepted through the style/config
+        # chain for reference surface parity but are inert: neither
+        # built-in writer style wraps (see to_markdown docstring)
+        return to_markdown(text)
     if to == "xml":
         from .core.parser import Parser
         from .core.writer import Writer
@@ -129,10 +135,7 @@ def convert_one(text: str, to: str, lang: str = "html", params: dict | None = No
                 f"extension when --lang is omitted)"
             )
         doc = Parser(get_dialect(parse_dialect[lang])).parse(text)
-        w = Writer()
-        if "width" in params:
-            w.width = int(params["width"])
-        return w.write(doc)
+        return Writer().write(doc)
     raise SystemExit(f"unknown target style: {to!r} (text|markdown|xml)")
 
 
@@ -474,6 +477,30 @@ def main(argv=None) -> int:
     if args.table:
         if not args.out:
             ap.error("--table requires --out")
+        # honor --lang / --to in table mode instead of silently
+        # running the html-text dialect on everything (r4 review):
+        # the distributed pipeline emits text+spans, so the target
+        # must be 'text'; the source language picks the extraction
+        # dialect.
+        _table_dialects = {
+            None: "html-text",
+            "html": "html-text",
+            "latex": "latex-text",
+            "markdown": "markdown-text",
+            "lexor": "lexor-text",
+        }
+        if args.lang not in _table_dialects:
+            ap.error(
+                f"--table supports --lang html|latex|markdown|lexor, "
+                f"not {args.lang!r}"
+            )
+        _to, _ = parse_target_spec(args.to)
+        if _TARGET_ALIASES.get(_to, _to) != "text":
+            ap.error(
+                "--table mode emits text+spans ('--to text'); convert "
+                "to other styles downstream or per file in single-file "
+                "mode"
+            )
         import ray
 
         if not ray.is_initialized():
@@ -485,7 +512,9 @@ def main(argv=None) -> int:
             )
         from .pipeline import run_extraction
 
-        summary = run_extraction(args.table, args.out)
+        summary = run_extraction(
+            args.table, args.out, dialect=_table_dialects[args.lang]
+        )
         print(json.dumps(summary))
         ray.shutdown()
         return 0

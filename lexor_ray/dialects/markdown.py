@@ -133,12 +133,17 @@ class _List(NodeWriter):
 class _Item(NodeWriter):
     def start(self, node) -> None:
         w = self.writer
+        # a stray <li> outside any <ul>/<ol> (messy real-world HTML)
+        # must render as a depth-1 unordered item, not crash — the
+        # list state dicts only exist once _List.start has run
+        # (r4 review)
         depth = getattr(w, "list_depth_", 1)
-        w.list_counter_[depth] = w.list_counter_.get(depth, 0) + 1
+        counter = w.list_counter_ = getattr(w, "list_counter_", {})
+        counter[depth] = counter.get(depth, 0) + 1
         w.endl(force=False)
         indent = "  " * (depth - 1)
-        if w.list_kind_.get(depth) == "ol":
-            self.write(f"{indent}{w.list_counter_[depth]}. ")
+        if getattr(w, "list_kind_", {}).get(depth) == "ol":
+            self.write(f"{indent}{counter[depth]}. ")
         else:
             self.write(f"{indent}- ")
 
@@ -216,18 +221,20 @@ HTML_MARKDOWN = register_dialect(
 )
 
 
-def to_markdown(text: str, width: int = 70) -> str:
+def to_markdown(text: str) -> str:
     """One-shot: HTML string → markdown (parse → convert → write).
-    ``width`` is the wrap-engine line width (CLI style parameter
-    ``markdown[width=N]`` — the reference's style_parameters surface,
-    ``lexor/command/to.py:51-165``)."""
+
+    This style NEVER word-wraps: non-wrapping output is what makes the
+    generation-time markdown golden (``transcripts._compose_md``)
+    composable, so the reference's ``width`` style parameter — still
+    accepted through the CLI/config chain for surface parity — has no
+    effect here (r4 review: it used to be threaded into an inert
+    ``Writer.width``, advertising a tunable that did nothing)."""
     from ..core.converter import Converter
     from ..core.parser import Parser
 
     d = HTML_MARKDOWN
     doc = Parser(d).parse(text)
     out = Converter(d).convert(doc)
-    w = Writer(d)
-    w.width = width
-    md = w.write(out)
+    md = Writer(d).write(out)
     return md.strip("\n")

@@ -458,6 +458,27 @@ def run_extraction(
                 continue
         jobs.append((ci, chunk))
 
+    # sweep orphaned parts left by a previous run with a different
+    # chunking or input set: chunk identity is index-based, so a rerun
+    # with fewer chunks would otherwise leave the old higher-numbered
+    # parts (data AND manifests) in place and every downstream reader
+    # of data/ would see those rows twice (r4 review). Only parts this
+    # run will not (re)write are removed.
+    import shutil as _shutil
+
+    expected = {f"part-{ci:05d}" for ci in range(summary["chunks_total"])}
+    for name in os.listdir(manifest_dir):
+        if name.endswith(".json") and name[: -len(".json")] not in expected:
+            os.remove(os.path.join(manifest_dir, name))
+    for name in os.listdir(data_dir):
+        base = (
+            name[1 : -len(".tmp")]
+            if name.startswith(".") and name.endswith(".tmp")
+            else name
+        )
+        if base not in expected:
+            _shutil.rmtree(os.path.join(data_dir, name), ignore_errors=True)
+
     def process(ci: int, chunk: list) -> int:
         part = f"part-{ci:05d}"
         mpath = os.path.join(manifest_dir, part + ".json")

@@ -444,3 +444,23 @@ def test_submit_entrypoint_subprocess(small_dir, tmp_path):
     assert s2["chunks_skipped"] == s2["chunks_total"] - 1
     assert 0 < s2["rows_this_run"] < s1["rows_total"]
     assert s2["rows_total"] == s1["rows_total"]
+
+
+def test_rechunked_rerun_sweeps_orphaned_parts(ray_session, small_dir, tmp_path):
+    """Rerunning into the same out_dir with a COARSER chunking must
+    remove the previous run's higher-numbered parts (data AND
+    manifests) — chunk identity is index-based, so without the sweep
+    a reader of data/ would see every row twice (r4 review)."""
+    import pyarrow.dataset as pds
+
+    out_dir = str(tmp_path / "out_rechunk")
+    s1 = run_extraction(small_dir, out_dir, files_per_chunk=1, concurrency=2)
+    assert s1["chunks_total"] > 1
+    s2 = run_extraction(small_dir, out_dir, files_per_chunk=64, concurrency=2)
+    assert s2["chunks_total"] == 1
+    assert sorted(os.listdir(os.path.join(out_dir, "manifest"))) == [
+        "part-00000.json"
+    ]
+    assert sorted(os.listdir(os.path.join(out_dir, "data"))) == ["part-00000"]
+    rows = pds.dataset(os.path.join(out_dir, "data")).count_rows()
+    assert rows == s1["rows"] == s2["rows"]

@@ -87,7 +87,9 @@ def test_cli_multi_target_with_style_parameter(tmp_path, capsys):
     md = (tmp_path / "doc.default.markdown").read_text()
     txt = json.loads((tmp_path / "doc.default.text").read_text())
     assert "**bold**" in md
-    # width=100 honored: no wrapped line shorter than default 70 forces
+    # the markdown style never wraps (golden composability contract),
+    # so the long paragraph survives as one line; width= is parsed
+    # through the style grammar but inert
     assert max(len(line) for line in md.splitlines()) > 70
     assert "bold" in txt["extracted_text"]
 
@@ -322,3 +324,34 @@ def test_cli_defaults_command(capsys=None):
         capture_output=True, text=True, check=True,
     ).stdout
     assert out.strip() == "NO DEFAULTS"
+
+
+def test_stray_li_renders_instead_of_crashing():
+    """Messy real-world HTML with an <li> outside any list must render
+    as a depth-1 unordered item, not crash on missing list state
+    (r4 review)."""
+    from lexor_ray.dialects.markdown import to_markdown
+
+    assert to_markdown("<li>stray item</li>") == "- stray item"
+    # and lists after the stray item still number correctly
+    out = to_markdown("<li>s</li><ol><li>a</li><li>b</li></ol>")
+    assert "1. a" in out and "2. b" in out
+
+
+def test_table_mode_rejects_non_text_targets(tmp_path):
+    """--table emits text+spans only; asking for another style must
+    error loudly instead of silently running html-text (r4 review)."""
+    import pytest
+
+    from lexor_ray.__main__ import main
+
+    with pytest.raises(SystemExit):
+        main(
+            ["--table", str(tmp_path), "--out", str(tmp_path / "o"),
+             "--to", "markdown"]
+        )
+    with pytest.raises(SystemExit):
+        main(
+            ["--table", str(tmp_path), "--out", str(tmp_path / "o"),
+             "--lang", "nosuch"]
+        )
