@@ -50,7 +50,19 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "GRAFT_BENCH_ONLY"
     ) else None
 
-    # warm the page cache so we measure compute + shuffle, not cold IO
+    # warm the page cache so we measure compute + shuffle, not cold
+    # IO: actually touch every byte of the input parquet (r4 review:
+    # count_rows() answers from footers without reading data pages,
+    # and the ops tables were never pre-read at all)
+    import glob as _glob
+
+    for _f in sorted(
+        _glob.glob(os.path.join(tdir, "*.parquet"))
+        + _glob.glob(os.path.join(sf_dir, "*.parquet"))
+    ):
+        with open(_f, "rb") as _fh:
+            while _fh.read(1 << 24):
+                pass
     import pyarrow.dataset as pads
 
     n_turns = pads.dataset(tdir, format="parquet").count_rows()

@@ -443,7 +443,7 @@ def run_extraction(
     data_dir = os.path.join(out_dir, "data")
     os.makedirs(manifest_dir, exist_ok=True)
     os.makedirs(data_dir, exist_ok=True)
-    summary = {"chunks_total": 0, "chunks_skipped": 0, "rows": 0}
+    summary = {"chunks_total": 0, "chunks_skipped": 0, "rows": 0, "rows_skipped": 0}
     jobs: list[tuple[int, list]] = []
     for ci, chunk in enumerate(_chunks(files, files_per_chunk)):
         part = f"part-{ci:05d}"
@@ -455,6 +455,11 @@ def run_extraction(
             if rec.get("inputs") == chunk:  # same fragment identity
                 summary["chunks_skipped"] += 1
                 summary["rows"] += rec.get("rows", 0)
+                # rows NOT processed this run — lets resuming tools
+                # report honest throughput without re-deriving it from
+                # a manifest scan that miscounts stale/orphaned parts
+                # (r4 review)
+                summary["rows_skipped"] += rec.get("rows", 0)
                 continue
         jobs.append((ci, chunk))
 

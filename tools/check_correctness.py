@@ -84,6 +84,12 @@ def main() -> int:
     # sf0.1 validator for these. Explicitly-named queries still run.
     quadratic = {"minhash_dedup", "dedup_clusters"}
     sf_val = float(m.group(1)) if m else 0.0
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd query name must not yield a vacuous 'ALL OK'
+        # (r4 review: unmatched names were silently dropped)
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 2
     names = []
     for name in qs:
         if only and name not in only:

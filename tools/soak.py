@@ -46,21 +46,13 @@ def main() -> int:
     src = transcripts_dir(sf)
     gen_sec = time.time() - t0
 
-    # rows already finished (skipped on this run) — excluded from rate
-    mdir = os.path.join(out, "manifest")
-    prior_rows = 0
-    if os.path.isdir(mdir):
-        for f in os.listdir(mdir):
-            if f.endswith(".json"):
-                with open(os.path.join(mdir, f)) as fh:
-                    prior_rows += json.load(fh).get("rows", 0)
-
     t0 = time.time()
     s = run_extraction(
         src, out, files_per_chunk=64, batch_size=1024, max_in_flight=3
     )
     dt = time.time() - t0
-    done_rows = s["rows"] - prior_rows
+    # skipped rows reported by run_extraction itself (r4 review)
+    done_rows = s["rows"] - s["rows_skipped"]
     print(
         json.dumps(
             {

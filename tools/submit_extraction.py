@@ -59,16 +59,6 @@ def main(argv: list[str] | None = None) -> int:
 
     from lexor_ray.pipeline import run_extraction
 
-    # rows already finished by a prior (killed) submission — excluded
-    # from this run's rate so resumed jobs report honest throughput
-    mdir = os.path.join(args.output, "manifest")
-    prior_rows = 0
-    if os.path.isdir(mdir):
-        for f in os.listdir(mdir):
-            if f.endswith(".json"):
-                with open(os.path.join(mdir, f)) as fh:
-                    prior_rows += json.load(fh).get("rows", 0)
-
     t0 = time.time()
     stats = run_extraction(
         args.input,
@@ -79,7 +69,10 @@ def main(argv: list[str] | None = None) -> int:
         dialect=args.dialect,
     )
     wall = time.time() - t0
-    new_rows = stats["rows"] - prior_rows
+    # rows_skipped comes from run_extraction itself (r4 review: a
+    # pre-run manifest directory scan miscounted stale/orphaned parts
+    # that the run deletes or reprocesses, yielding negative rates)
+    new_rows = stats["rows"] - stats["rows_skipped"]
     print(
         json.dumps(
             {
