@@ -543,18 +543,146 @@ def _pairs_with_jaccard(sf_dir: str, threshold: float | None, small_limit=None):
     return _score_pairs(_join_pair_texts(cand, docs), threshold).sort(["a", "b"])
 
 
+def _batch_shingle_hash_sets(text_col, k: int = 3):
+    """Sorted-unique uint64 word-k-shingle hashes for every row of an
+    Arrow string column, with no per-row Python: ONE
+    :func:`_batch_word_hashes` pass, the ``_GRAM_MIX`` k-gram mixer
+    (identical gram hashing to :func:`_batch_minhash_sigs`, including
+    the single join-of-all-words gram for 0<L<k docs), then one global
+    lexsort to de-dup per doc. Returns ``(flat, offs)`` — row i's
+    shingle-hash SET is ``flat[offs[i]:offs[i+1]]``."""
+    wh, doc_of, lens = _batch_word_hashes(text_col)
+    n = len(lens)
+    W = len(wh)
+    mix = _GRAM_MIX[:k]
+    gh_parts, gd_parts = [], []
+    with np.errstate(over="ignore"):
+        if W >= k:
+            g = np.zeros(W - k + 1, dtype=np.uint64)
+            for j in range(k):
+                g = g + wh[j : W - k + 1 + j] * mix[j]
+            valid = doc_of[: W - k + 1] == doc_of[k - 1 :]
+            if valid.any():
+                gh_parts.append(g[valid])
+                gd_parts.append(doc_of[: W - k + 1][valid])
+        short = (lens > 0) & (lens < k)
+        if short.any():
+            sw = short[doc_of]
+            pos = np.arange(W, dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(lens)])[:-1], lens
+            )
+            vals = wh[sw] * mix[pos[sw]]
+            sdoc = doc_of[sw]
+            starts = np.flatnonzero(np.r_[True, sdoc[1:] != sdoc[:-1]])
+            gh_parts.append(np.add.reduceat(vals, starts))
+            gd_parts.append(sdoc[starts])
+    if gh_parts:
+        gh = np.concatenate(gh_parts)
+        gd = np.concatenate(gd_parts)
+        order = np.lexsort((gh, gd))
+        gh, gd = gh[order], gd[order]
+        keep = np.r_[True, (gh[1:] != gh[:-1]) | (gd[1:] != gd[:-1])]
+        gh, gd = gh[keep], gd[keep]
+    else:
+        gh = np.empty(0, dtype=np.uint64)
+        gd = np.empty(0, dtype=np.int64)
+    offs = np.concatenate(
+        [[0], np.cumsum(np.bincount(gd, minlength=n))]
+    ).astype(np.int64)
+    return gh, offs
+
+
+def _batch_pair_jaccard(text_a, text_b, k: int = 3) -> np.ndarray:
+    """Exact word-shingle Jaccard for a whole batch of (text_a, text_b)
+    pairs with no per-pair Python (r4 verdict item 1, replacing the
+    ``[jaccard(ta, tb) for ...]`` hot loop): each UNIQUE text is
+    shingle-hashed once per batch (``pd.factorize`` +
+    :func:`_batch_shingle_hash_sets`), both sides' sets are gathered by
+    fancy indexing, and ONE lexsort over the tagged (pair, hash) rows
+    counts per-pair duplicates = intersection sizes. Same semantics as
+    :func:`jaccard` — both-empty → 1.0, one-empty → 0.0, else one IEEE
+    ``inter/union`` division over the same integer set sizes — up to a
+    uint64 shingle-hash collision (~n²/2⁶⁴; per-pair identity vs the
+    string-set kernel is asserted in tests/test_ops.py)."""
+    n = len(text_a)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    allt = pd.concat(
+        [pd.Series(text_a), pd.Series(text_b)], ignore_index=True
+    ).fillna("")
+    codes, uniques = pd.factorize(allt)
+    ca, cb = codes[:n], codes[n:]
+    # identical texts share a factorize code → identical shingle sets
+    # → jaccard 1.0 with zero set work (also covers both-empty → 1.0).
+    # This is the COMMON case for LSH candidates out of exact-duplicate
+    # families (the star-capped buckets emit min-doc vs copies).
+    j = np.ones(n, dtype=np.float64)
+    work = np.flatnonzero(ca != cb)
+    if len(work) == 0:
+        return j
+    # jaccard is symmetric: score each unordered UNIQUE code pair once
+    lo = np.minimum(ca[work], cb[work]).astype(np.int64)
+    hi = np.maximum(ca[work], cb[work]).astype(np.int64)
+    U = len(uniques)
+    upair, uinv = np.unique(lo * U + hi, return_inverse=True)
+    ula, ulb = upair // U, upair % U
+    flat, offs = _batch_shingle_hash_sets(
+        pa.chunked_array([pa.array(uniques, type=pa.string())]), k
+    )
+    sizes = np.diff(offs)
+    m = len(upair)
+    # rank-compress the (small) per-unique-doc shingle array so a
+    # (pair, shingle) row packs into ONE int64 sortable key — a single
+    # np.sort instead of a 2-key lexsort over the gathered rows
+    ranks = (
+        np.unique(flat, return_inverse=True)[1]
+        if len(flat)
+        else np.empty(0, dtype=np.int64)
+    )
+    M = int(ranks.max()) + 1 if len(ranks) else 1
+
+    def gather(c):
+        ln = sizes[c]
+        tot = int(ln.sum())
+        if tot == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        idx = np.repeat(offs[c], ln) + (
+            np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(ln) - ln, ln)
+        )
+        return ranks[idx], np.repeat(np.arange(m, dtype=np.int64), ln)
+
+    ra, pa_ = gather(ula)
+    rb, pb_ = gather(ulb)
+    if m * M < (1 << 62):
+        key = np.sort(
+            np.concatenate([pa_ * M + ra, pb_ * M + rb])
+        )
+        dup = key[1:] == key[:-1]
+        pdup = key[1:][dup] // M
+    else:  # pathological width: fall back to the 2-key lexsort
+        r = np.concatenate([ra, rb])
+        p = np.concatenate([pa_, pb_])
+        order = np.lexsort((r, p))
+        r, p = r[order], p[order]
+        dup = (r[1:] == r[:-1]) & (p[1:] == p[:-1])
+        pdup = p[1:][dup]
+    inter = np.bincount(pdup, minlength=m).astype(np.int64)
+    union = sizes[ula] + sizes[ulb] - inter
+    # union==0 ⇔ BOTH texts word-free (distinct strings, e.g. "" vs
+    # " ") → 1.0 like :func:`jaccard`; one-empty → inter 0 → 0.0
+    ju = np.ones(m, dtype=np.float64)
+    nz = union > 0
+    ju[nz] = inter[nz] / union[nz]
+    j[work] = ju[uinv]
+    return j
+
+
 def _score_pairs(joined, threshold: float | None):
     """Jaccard-verify joined (a, b, text_a, text_b) rows per batch;
     optionally keep only pairs at/above ``threshold``."""
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        j = np.array(
-            [
-                jaccard(ta, tb)
-                for ta, tb in zip(batch["text_a"], batch["text_b"])
-            ],
-            dtype=np.float64,
-        )
+        j = _batch_pair_jaccard(batch["text_a"], batch["text_b"])
         out = pd.DataFrame(
             {
                 "a": batch["a"].astype("int64"),

@@ -621,15 +621,28 @@ def customers_without_orders(sf_dir: str, since: str = "2001-01-01"):
 
 def events_json_stats(sf_dir: str):
     """JSON scalar functions over the ``props`` column: extract the
-    ``k`` field per event (vectorized pandas json parse per batch),
-    aggregate min/max/sum per event_type — a capability the reference
-    lacks entirely (SURVEY §2.6: no json functions)."""
+    ``k`` field per event, aggregate min/max/sum per event_type — a
+    capability the reference lacks entirely (SURVEY §2.6: no json
+    functions). Extraction is a vectorized regex over the whole batch
+    (C-level ``Series.str.extract``); rows the fast pattern misses
+    (quoted/nested/absent ``k``) fall back to per-row ``json.loads``
+    — the r4 verdict's per-row-Python fix with semantics unchanged."""
     import json
 
     ds = tbl(sf_dir, "events", columns=["event_type", "props"])
 
+    def _extract_k(props: pd.Series) -> pd.Series:
+        k = pd.to_numeric(
+            props.str.extract(r'"k"\s*:\s*(-?\d+)(?=\s*[,}])', expand=False),
+            errors="coerce",
+        )
+        miss = k.isna()
+        if miss.any():
+            k[miss] = props[miss].map(lambda s: json.loads(s).get("k"))
+        return k
+
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        k = batch["props"].map(lambda s: json.loads(s).get("k"))
+        k = _extract_k(batch["props"])
         t = pd.DataFrame({"event_type": batch["event_type"], "k": k.astype("int64")})
         g = t.groupby("event_type", sort=False)["k"]
         out = pd.DataFrame(

@@ -658,6 +658,36 @@ def _tfidf_joined(ds, df_ds, n_docs: int, top_k: int):
     )
 
 
+def _nunique_per_row(split: pd.Series) -> np.ndarray:
+    """Distinct-element count per row of a Series of token lists, with
+    no per-row Python ``set()``: one explode + one factorize-backed
+    ``groupby(row).nunique()`` (both C-level), reindexed so rows whose
+    list was empty count 0 — exactly ``len(set(row))`` (r4 verdict
+    item 4; column identity asserted in tests/test_ops.py)."""
+    n = len(split)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    ex = split.reset_index(drop=True).explode()
+    nun = ex.groupby(level=0, sort=False).nunique()
+    return (
+        nun.reindex(range(n), fill_value=0).to_numpy().astype(np.int64)
+    )
+
+
+def _repetition_columns(batch: pd.DataFrame) -> dict:
+    """Shared word/line count + distinct-count columns for
+    :func:`repetition_signals` and the fused :func:`doc_signals`."""
+    texts = batch["text"].fillna("")
+    words = texts.str.strip().str.split()
+    lines = texts.str.split("\n")
+    return {
+        "n_words": words.str.len().to_numpy().astype(np.int64),
+        "n_distinct_words": _nunique_per_row(words),
+        "n_lines": lines.str.len().to_numpy().astype(np.int64),
+        "n_distinct_lines": _nunique_per_row(lines),
+    }
+
+
 def repetition_signals(sf_dir: str):
     """Gopher-style repetition quality signals (Rae et al. 2021,
     public filtering rules): per document the word count, DISTINCT
@@ -667,17 +697,8 @@ def repetition_signals(sf_dir: str):
     ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
     def signals(batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch["text"].fillna("")
-        words = texts.str.strip().str.split()
-        lines = texts.str.split("\n")
         return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"],
-                "n_words": words.map(len).astype("int64"),
-                "n_distinct_words": words.map(lambda w: len(set(w))).astype("int64"),
-                "n_lines": lines.map(len).astype("int64"),
-                "n_distinct_lines": lines.map(lambda l: len(set(l))).astype("int64"),
-            }
+            {"doc_id": batch["doc_id"], **_repetition_columns(batch)}
         )
 
     return ds.map_batches(signals, batch_format="pandas")
@@ -696,22 +717,12 @@ def doc_signals(sf_dir: str):
 
     def fused(batch: pd.DataFrame) -> pd.DataFrame:
         lid = cached("lang-id", LangId)
-        texts = batch["text"].fillna("")
-        words = texts.str.strip().str.split()
-        lines = texts.str.split("\n")
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
                 "pred_lang": [lid.predict(t) for t in batch["text"]],
                 "lang": batch["lang"],
-                "n_words": words.map(len).astype("int64"),
-                "n_distinct_words": words.map(lambda w: len(set(w))).astype(
-                    "int64"
-                ),
-                "n_lines": lines.map(len).astype("int64"),
-                "n_distinct_lines": lines.map(lambda l: len(set(l))).astype(
-                    "int64"
-                ),
+                **_repetition_columns(batch),
             }
         )
 
