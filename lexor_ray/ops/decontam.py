@@ -108,13 +108,22 @@ def _benchmark_state(sf_dir: str) -> tuple[list[str], list[str]]:
         )
         n_gram_rows += int((~is_snip).sum())
         gram_set.update(batch["payload"].to_numpy()[~is_snip].tolist())
-        if len(snip_rows) > MAX_SNIPPETS or n_gram_rows > MAX_SNIPPETS * 100:
+        # acceptance is on DISTINCT grams (what the driver actually
+        # retains and later broadcasts — the pre-streaming-cap
+        # envelope, ADVICE r4); the pre-dedup row count is only a
+        # 10×-looser runaway backstop for a stream of mostly-duplicate
+        # grams, which costs iteration time rather than memory
+        if (
+            len(snip_rows) > MAX_SNIPPETS
+            or len(gram_set) > MAX_SNIPPETS * 100
+            or n_gram_rows > MAX_SNIPPETS * 1000
+        ):
             raise ValueError(
                 f"derived benchmark set has ≥{len(snip_rows)} snippets / "
-                f"≥{n_gram_rows} gram rows (> {MAX_SNIPPETS}-scale); "
-                "decontaminate() broadcasts the benchmark side and requires "
-                "it to be eval-suite-sized — feed a real (small) benchmark "
-                "table at this scale"
+                f"≥{len(gram_set)} distinct grams (≥{n_gram_rows} rows; "
+                f"> {MAX_SNIPPETS}-scale); decontaminate() broadcasts the "
+                "benchmark side and requires it to be eval-suite-sized — "
+                "feed a real (small) benchmark table at this scale"
             )
     snip_rows.sort()
     return [s for _, s in snip_rows], sorted(gram_set)

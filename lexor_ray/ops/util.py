@@ -55,18 +55,33 @@ def cached(key, factory):
     return inst
 
 
+#: broadcasts kept per cached_for_ref slot per worker — >1 so two
+#: pipelines sharing a worker (the GATE_WORKERS-overlapped gate, or
+#: curation_docs alongside a standalone quantile_filter) don't evict
+#: each other's entry every batch (ADVICE r4), small enough that the
+#: pinned plasma buffers stay bounded (the r2 LSH cache-leak lesson).
+_REF_CACHE_PER_SLOT = 4
+
+
 def cached_for_ref(slot: str, ref, factory):
-    """ONE worker-cache slot per logical broadcast, REPLACED when the
-    ObjectRef changes — keying the plain dict by ``(slot, ref.hex())``
-    grows an entry (and pins its plasma buffer) per invocation in a
-    long-lived session (review fix; the r2 LSH cache-leak lesson
-    generalized). ``factory()`` receives nothing and typically does
-    ``ray.get(ref)`` + derived indexes."""
+    """Small per-slot LRU of materialized broadcasts, keyed by the
+    ObjectRef hex — an unchanged ref hits the cache, a new ref
+    replaces the least-recently-used entry once the slot holds
+    ``_REF_CACHE_PER_SLOT``. ``factory()`` receives nothing and
+    typically does ``ray.get(ref)`` + derived indexes."""
+    from collections import OrderedDict
+
     hex_ = ref.hex()
-    entry = _WORKER_CACHE.get(slot)
-    if entry is None or entry[0] != hex_:
-        entry = _WORKER_CACHE[slot] = (hex_, factory())
-    return entry[1]
+    lru = _WORKER_CACHE.get(slot)
+    if not isinstance(lru, OrderedDict):
+        lru = _WORKER_CACHE[slot] = OrderedDict()
+    if hex_ in lru:
+        lru.move_to_end(hex_)
+        return lru[hex_]
+    val = lru[hex_] = factory()
+    if len(lru) > _REF_CACHE_PER_SLOT:
+        lru.popitem(last=False)
+    return val
 
 
 def coarse_grouped(

@@ -468,21 +468,61 @@ def run_extraction(
     # with fewer chunks would otherwise leave the old higher-numbered
     # parts (data AND manifests) in place and every downstream reader
     # of data/ would see those rows twice (r4 review). Only parts this
-    # run will not (re)write are removed.
+    # run will not (re)write are removed — and only when the run-level
+    # identity (input list + chunking) CHANGED: two concurrent
+    # invocations sharing an out_dir on the same inputs (a resumed
+    # submit while a soak runs, ADVICE r4) then never delete each
+    # other's in-progress tmp dirs or manifests. A missing/unreadable
+    # run.json sweeps conservatively (pre-identity layouts may hold
+    # orphans). Concurrent runs with DIFFERENT identities on one
+    # out_dir remain misuse — they contend for the same part names.
     import shutil as _shutil
 
-    expected = {f"part-{ci:05d}" for ci in range(summary["chunks_total"])}
-    for name in os.listdir(manifest_dir):
-        if name.endswith(".json") and name[: -len(".json")] not in expected:
-            os.remove(os.path.join(manifest_dir, name))
-    for name in os.listdir(data_dir):
-        base = (
-            name[1 : -len(".tmp")]
-            if name.startswith(".") and name.endswith(".tmp")
-            else name
-        )
-        if base not in expected:
-            _shutil.rmtree(os.path.join(data_dir, name), ignore_errors=True)
+    run_ident = {"inputs": files, "files_per_chunk": files_per_chunk}
+    run_path = os.path.join(out_dir, "run.json")
+    lock_path = os.path.join(out_dir, ".run.lock")
+    prev_ident = None
+    if os.path.exists(run_path):
+        try:
+            with open(run_path) as fh:
+                prev_ident = json.load(fh)
+        except (OSError, ValueError):
+            prev_ident = None
+
+    def _live_foreign_lock() -> bool:
+        """True iff another LIVE process holds this out_dir's lock —
+        its in-progress parts must not be swept even when the
+        chunking identity differs."""
+        try:
+            with open(lock_path) as fh:
+                pid = int(fh.read().strip() or 0)
+        except (OSError, ValueError):
+            return False
+        if pid <= 0 or pid == os.getpid():
+            return False
+        try:
+            os.kill(pid, 0)  # liveness probe only, no signal sent
+        except OSError:
+            return False  # stale lock from a dead run
+        return True
+
+    if prev_ident != run_ident and not _live_foreign_lock():
+        expected = {f"part-{ci:05d}" for ci in range(summary["chunks_total"])}
+        for name in os.listdir(manifest_dir):
+            if name.endswith(".json") and name[: -len(".json")] not in expected:
+                os.remove(os.path.join(manifest_dir, name))
+        for name in os.listdir(data_dir):
+            base = (
+                name[1 : -len(".tmp")]
+                if name.startswith(".") and name.endswith(".tmp")
+                else name
+            )
+            if base not in expected:
+                _shutil.rmtree(os.path.join(data_dir, name), ignore_errors=True)
+        rtmp = run_path + ".tmp"
+        with open(rtmp, "w") as fh:
+            json.dump(run_ident, fh)
+        os.replace(rtmp, run_path)
 
     def process(ci: int, chunk: list) -> int:
         part = f"part-{ci:05d}"
@@ -517,17 +557,31 @@ def run_extraction(
         os.rename(mpath + ".tmp", mpath)
         return rec["rows"]
 
-    if max_in_flight <= 1 or len(jobs) <= 1:
-        for ci, chunk in jobs:
-            summary["rows"] += process(ci, chunk)
-    else:
-        from concurrent.futures import ThreadPoolExecutor
+    if not _live_foreign_lock():
+        try:
+            with open(lock_path, "w") as fh:
+                fh.write(str(os.getpid()))
+        except OSError:
+            pass
+    try:
+        if max_in_flight <= 1 or len(jobs) <= 1:
+            for ci, chunk in jobs:
+                summary["rows"] += process(ci, chunk)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
 
-        ensure_fsspec_http_probe()
+            ensure_fsspec_http_probe()
 
-        with ThreadPoolExecutor(max_workers=max_in_flight) as pool:
-            for rows in pool.map(lambda j: process(*j), jobs):
-                summary["rows"] += rows
+            with ThreadPoolExecutor(max_workers=max_in_flight) as pool:
+                for rows in pool.map(lambda j: process(*j), jobs):
+                    summary["rows"] += rows
+    finally:
+        try:  # release only a lock this process owns
+            with open(lock_path) as fh:
+                if int(fh.read().strip() or 0) == os.getpid():
+                    os.remove(lock_path)
+        except (OSError, ValueError):
+            pass
     return summary
 
 

@@ -464,3 +464,43 @@ def test_rechunked_rerun_sweeps_orphaned_parts(ray_session, small_dir, tmp_path)
     assert sorted(os.listdir(os.path.join(out_dir, "data"))) == ["part-00000"]
     rows = pds.dataset(os.path.join(out_dir, "data")).count_rows()
     assert rows == s1["rows"] == s2["rows"]
+
+
+def test_sweep_gated_on_run_identity_and_live_lock(
+    ray_session, small_dir, tmp_path
+):
+    """The orphan sweep must fire only when the run identity (input
+    list + chunking) CHANGED and no LIVE process holds the out_dir
+    lock (ADVICE r4): a same-identity rerun leaves foreign parts
+    alone; a live foreign lock defers the sweep even across an
+    identity change; a stale (dead-pid) lock does not block it."""
+    import shutil
+
+    out_dir = str(tmp_path / "out_lockgate")
+    run_extraction(small_dir, out_dir, files_per_chunk=1, concurrency=2)
+    # plant an out-of-range orphan as another run's in-progress part
+    mdir, ddir = os.path.join(out_dir, "manifest"), os.path.join(out_dir, "data")
+    orphan_m = os.path.join(mdir, "part-99999.json")
+    with open(orphan_m, "w") as fh:
+        fh.write("{}")
+    orphan_d = os.path.join(ddir, "part-99999")
+    os.makedirs(orphan_d)
+    # same identity → no sweep, orphan survives
+    run_extraction(small_dir, out_dir, files_per_chunk=1, concurrency=2)
+    assert os.path.exists(orphan_m) and os.path.exists(orphan_d)
+    # identity change but a LIVE foreign lock → sweep deferred
+    with open(os.path.join(out_dir, ".run.lock"), "w") as fh:
+        fh.write(str(os.getppid()))  # a live pid that is not ours
+    run_extraction(small_dir, out_dir, files_per_chunk=64, concurrency=2)
+    assert os.path.exists(orphan_m) and os.path.exists(orphan_d)
+    # stale lock (dead pid) + identity change → sweep proceeds (the
+    # deferred sweep left run.json at the fpc=1 identity, so fpc=2
+    # differs from it)
+    shutil.rmtree(os.path.join(ddir, "part-00000"), ignore_errors=True)
+    os.remove(os.path.join(mdir, "part-00000.json"))
+    with open(os.path.join(out_dir, ".run.lock"), "w") as fh:
+        fh.write("999999999")
+    run_extraction(small_dir, out_dir, files_per_chunk=2, concurrency=2)
+    assert not os.path.exists(orphan_m) and not os.path.exists(orphan_d)
+    # the released lock is gone after a clean return
+    assert not os.path.exists(os.path.join(out_dir, ".run.lock"))

@@ -24,12 +24,13 @@ from concurrent.futures import ProcessPoolExecutor
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _one_proc(args: tuple[int, int, float]) -> float:
+def _one_proc(args: tuple[int, int, float]) -> tuple[float, float]:
     """Child: generate its own batch (seeded per proc), SLEEP until
     the shared start barrier so every child's timed window truly
     overlaps (otherwise a child that finishes generating early times
     its extraction against idle CPUs and inflates the aggregate),
-    then run the full UDF 3× and return rows/sec."""
+    then run the full UDF 3× and return (rows/sec, seconds the child
+    missed the barrier by — 0.0 when it made it)."""
     rows, seed, start_at = args
     from lexor_ray.pipeline import ExtractBatch
     from lexor_ray.transcripts import generate_transcripts
