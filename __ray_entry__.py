@@ -201,11 +201,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # linear recurrence, replayed exactly by a RECURSIVE CTE
         # (oracle-checked since late r3)
         "pack_sequences": packing.pack_sequences,
+        # fused multimodal decode pipeline, golden-gated since r5: the
+        # oracle reads the generation-time expected table composed
+        # from pre-encode pixels (media_golden_path — the clean_text
+        # pattern), so hash equality gates decode∘encode == id for the
+        # real BMP/PNG codecs
+        "media_pipeline": _media_pipeline_q,
         # ---- rows-only tail (genuinely non-SQL: seeded hash
-        # families, payload-byte features) ----
+        # families) ----
         "neardup_candidates": dedup.neardup_candidates,
-        "media_pipeline": multimodal.media_pipeline,
     }
+
+
+def _media_pipeline_q(sf_dir: str):
+    """media_pipeline with its golden composed first (same eager
+    pattern as the transcripts generation in oracle_sql — the oracle's
+    read_parquet target must exist regardless of call order)."""
+    from lexor_ray.ops import multimodal
+
+    multimodal.media_golden_path(sf_dir)
+    return multimodal.media_pipeline(sf_dir)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -220,6 +235,12 @@ def oracle_sql() -> dict[str, str]:
         transcripts_dir(float(_ORACLE_SF))
     except Exception:
         pass
+    try:
+        from lexor_ray.ops.multimodal import media_golden_path
+
+        media_golden = media_golden_path(f"/root/testdata/sf{_ORACLE_SF}")
+    except Exception:
+        media_golden = f"/tmp/lexor_ray_data/sf{_ORACLE_SF}/media_golden/golden.parquet"
     t = _SF001_TRANSCRIPTS
     g = _SF001_GOLDEN
     from lexor_ray.ops.curation import (
@@ -695,6 +716,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST((8 + doc_id % 8) * (8 + doc_id % 5) AS BIGINT) AS n_bytes
             FROM documents ORDER BY doc_id
+        """,
+        # generation-time golden (media_golden_path): expected decode
+        # invariants composed from the pre-encode pixels, never through
+        # the decoders under test
+        "media_pipeline": f"""
+            SELECT doc_id, n_bytes, feat_mean, n_frames_sampled,
+                   resize_checksum
+            FROM read_parquet('{media_golden}') ORDER BY doc_id
         """,
         # GPT-2-style pre-tokenizer count: the exact regex the Ray op
         # compiles, re-run by RE2; whitespace-only matches excluded.

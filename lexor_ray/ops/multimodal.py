@@ -178,6 +178,28 @@ def decode_png(data: bytes) -> np.ndarray:
     return out.reshape(h, w, 3)
 
 
+def _media_row(i: int):
+    """(payload, media_type, w, h, pixels) for doc_id ``i`` — the
+    single generation-side source of truth shared by
+    :func:`synthesize_media` and the golden composer
+    (:func:`media_golden_path`). ``pixels`` is the PRE-ENCODE array:
+    (h, w, 3) for the real codecs, the raw bytes reshaped (h, w) for
+    fake payloads — the golden derives every expected invariant from
+    it without ever calling a decoder."""
+    seed = hashlib.blake2b(f"{i}".encode(), digest_size=8).digest()
+    rng = np.random.default_rng(int.from_bytes(seed, "big"))
+    w = int(8 + (i % 8))
+    h = int(8 + (i % 5))
+    if i % 5 == 0:
+        pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        return encode_bmp(pix), "image/bmp", w, h, pix
+    if i % 5 == 3:
+        pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        return encode_png(pix), "image/png", w, h, pix
+    raw = rng.integers(0, 256, w * h, dtype=np.uint8)
+    return raw.tobytes(), "image/fake", w, h, raw.reshape(h, w)
+
+
 def synthesize_media(sf_dir: str):
     """Derive a deterministic binary 'media' column from documents:
     payload + typed metadata columns (media_type, width, height).
@@ -190,26 +212,11 @@ def synthesize_media(sf_dir: str):
     ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
     def make(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
         payloads, types, widths, heights = [], [], [], []
-        for i in ids:
-            seed = hashlib.blake2b(f"{i}".encode(), digest_size=8).digest()
-            rng = np.random.default_rng(int.from_bytes(seed, "big"))
-            w = int(8 + (i % 8))
-            h = int(8 + (i % 5))
-            if i % 5 == 0:
-                pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-                payloads.append(encode_bmp(pix))
-                types.append("image/bmp")
-            elif i % 5 == 3:
-                pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-                payloads.append(encode_png(pix))
-                types.append("image/png")
-            else:
-                payloads.append(
-                    rng.integers(0, 256, w * h, dtype=np.uint8).tobytes()
-                )
-                types.append("image/fake")
+        for i in batch.column("doc_id").to_pylist():
+            payload, mtype, w, h, _ = _media_row(i)
+            payloads.append(payload)
+            types.append(mtype)
             widths.append(w)
             heights.append(h)
         return pa.table(
@@ -438,6 +445,86 @@ def media_pipeline(sf_dir: str, frame_bytes: int = 16, every_k: int = 4,
     # UNORDERED output (README ordering contract; same presentation-
     # sort removal as token_counts/pii_scrub in r3/r4).
     return ds.map_batches(stage, batch_format="pyarrow", batch_size=64)
+
+
+#: bump on ANY change to _media_row / the media_pipeline output
+#: derivation below (the transcripts.GEN_VERSION rule applied here)
+MEDIA_GOLDEN_VERSION = "v1"
+
+_MEDIA_GOLDEN_LOCK = __import__("threading").Lock()
+
+
+def media_golden_path(
+    sf_dir: str,
+    frame_bytes: int = 16,
+    every_k: int = 4,
+    out_w: int = 4,
+    out_h: int = 4,
+) -> str:
+    """Compose + cache the GENERATION-TIME expected
+    :func:`media_pipeline` table for ``sf_dir`` (the clean_text golden
+    pattern, r4 verdict item 5): every invariant — n_bytes, feat_mean,
+    n_frames_sampled, resize_checksum — is derived from the PRE-ENCODE
+    pixels / raw bytes of :func:`_media_row`, never through
+    decode_bmp/decode_png/StubDecoder, so oracle equality genuinely
+    gates the decode path (decode∘encode == id for the real codecs).
+    Returns the cached parquet path (under /tmp/lexor_ray_data,
+    versioned by ``MEDIA_GOLDEN_VERSION``); composition is locked for
+    the GATE_WORKERS-overlapped correctness gate."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..transcripts import DEFAULT_BASE, sf_from_dir
+
+    out_dir = os.path.join(DEFAULT_BASE, f"sf{sf_from_dir(sf_dir)}", "media_golden")
+    marker = os.path.join(out_dir, "_meta.txt")
+    path = os.path.join(out_dir, "golden.parquet")
+    with _MEDIA_GOLDEN_LOCK:
+        ids = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"].to_numpy(zero_copy_only=False)
+        stamp = (
+            f"gen={MEDIA_GOLDEN_VERSION} docs={len(ids)} fb={frame_bytes} "
+            f"k={every_k} w={out_w} h={out_h}\n"
+        )
+        if os.path.exists(marker) and os.path.exists(path):
+            with open(marker) as fh:
+                if fh.read() == stamp:
+                    return path
+        os.makedirs(out_dir, exist_ok=True)
+        yi_cache = {}
+        n_bytes, feat_mean, n_frames, checks = [], [], [], []
+        for i in ids:
+            payload, mtype, w, h, pixels = _media_row(int(i))
+            n_bytes.append(len(payload))
+            n_frames.append(len(range(0, len(payload) // frame_bytes, every_k)))
+            # identical float path to StubDecoder: float32 mean of the
+            # (pre-encode == decoded, lossless codecs) pixel array for
+            # real media, of the raw bytes for fake — then round(.., 3)
+            src = pixels if mtype in StubDecoder.REAL_DECODE else np.frombuffer(
+                payload, dtype=np.uint8
+            )
+            feat_mean.append(float(np.round(np.float32(src.mean()), 3)))
+            if (w, h) not in yi_cache:
+                yi_cache[(w, h)] = np.ix_(
+                    (np.arange(out_h) * h) // out_h, (np.arange(out_w) * w) // out_w
+                )
+            checks.append(int(pixels[yi_cache[(w, h)]].sum()))
+        table = pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_bytes": pa.array(n_bytes, type=pa.int64()),
+                "feat_mean": pa.array(feat_mean, type=pa.float64()),
+                "n_frames_sampled": pa.array(n_frames, type=pa.int64()),
+                "resize_checksum": pa.array(checks, type=pa.int64()),
+            }
+        )
+        pq.write_table(table, path)
+        with open(marker + ".tmp", "w") as fh:
+            fh.write(stamp)
+        os.replace(marker + ".tmp", marker)
+    return path
 
 
 def media_byte_totals(sf_dir: str):

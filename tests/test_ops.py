@@ -999,3 +999,75 @@ def test_batch_pair_jaccard_identical_to_string_kernel():
     assert np.array_equal(got_f, want_f)
     assert len(_batch_pair_jaccard(pd.Series([], dtype=object),
                                    pd.Series([], dtype=object))) == 0
+
+
+def test_media_pipeline_matches_generation_golden(ray_session):
+    """media_pipeline's decode-path outputs must equal the
+    generation-time golden composed from PRE-encode pixels
+    (media_golden_path never calls a decoder) — the oracle gate that
+    proves decode∘encode == id for the BMP/PNG codecs (r4 verdict
+    item 5)."""
+    import pyarrow.parquet as pq
+
+    from lexor_ray.ops.multimodal import media_golden_path, media_pipeline
+
+    got = (
+        df(media_pipeline(SF)).sort_values("doc_id").reset_index(drop=True)
+    )
+    want = (
+        pq.read_table(media_golden_path(SF))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_neardup_jaccard_subset_matches_duckdb(ray_session):
+    """The jaccard-tagged subset of the neardup_candidates union
+    carries exact n-gram Jaccards that DuckDB can recompute for the
+    emitted pairs (same shingle CTE as the minhash oracle) — leaving
+    only the seeded simhash/semdedup rows genuinely non-SQL
+    (r4 verdict item 7)."""
+    import duckdb
+
+    from lexor_ray.ops.dedup import neardup_candidates
+
+    union = df(neardup_candidates(SF))
+    jac = (
+        union[union["algo"] == "jaccard"][["a", "b", "score"]]
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(jac) > 0
+    con = duckdb.connect()
+    con.register("pairs", jac[["a", "b"]])
+    want = con.sql(
+        f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE (
+                          WITH ws AS (SELECT string_split_regex(
+                              regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                              '\\s+') AS w)
+                          SELECT CASE WHEN len(w) < 3
+                                      THEN [array_to_string(w, ' ')]
+                                      ELSE list_transform(range(1, len(w) - 1),
+                                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                                 END FROM ws)
+                   END AS sh
+            FROM read_parquet('{SF}/documents.parquet')
+        )
+        SELECT p.a, p.b,
+               floor((CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                      / len(list_distinct(x.sh || y.sh))) * 10000) / 10000
+                   AS score
+        FROM pairs p
+        JOIN sh x ON x.doc_id = p.a
+        JOIN sh y ON y.doc_id = p.b
+        ORDER BY p.a, p.b
+        """
+    ).df()
+    pd.testing.assert_frame_equal(jac, want, check_dtype=False)

@@ -113,3 +113,48 @@ def test_semdedup_catches_chunk_boundary_duplicates(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, whole, check_dtype=False)
+
+
+def test_semdedup_auto_chunk_tier_exact(ray_session, tmp_path):
+    """r5 (r4 verdict item 8): a cluster whose naive chunk count would
+    exceed _SEMDEDUP_MAX_CHUNKS takes the auto-sized tier
+    (chunk = ceil(n / MAX_CHUNKS) > cluster_cap) and must stay EXACT —
+    equal to the unchunked prune, boundary duplicates included."""
+    from lexor_ray.ops.similarity import _SEMDEDUP_MAX_CHUNKS
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(90, 16)).astype(np.float64)
+    # ids 0..89 unique; 90..119 duplicate ids 0..29
+    vecs = np.vstack([base, base[:30]])
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(120), type=pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs],
+                    type=pa.list_(pa.float64()),
+                ),
+                "label": pa.array([0] * 120, type=pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    # cap=2 would naively mean 60 chunks > MAX_CHUNKS=32 → the tier
+    # kicks in with chunk = ceil(120/32) = 4
+    assert 120 // 2 > _SEMDEDUP_MAX_CHUNKS
+    got = (
+        semdedup(str(tmp_path), k=1, threshold=0.999, cluster_cap=2)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    kept = got.set_index("vec_id")["kept"]
+    assert kept.loc[range(90)].all(), "an original was dropped"
+    assert not kept.loc[range(90, 120)].any(), "a planted duplicate survived"
+    whole = (
+        semdedup(str(tmp_path), k=1, threshold=0.999, cluster_cap=8192)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, whole, check_dtype=False)
