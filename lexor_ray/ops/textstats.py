@@ -139,12 +139,26 @@ class QualityScorer:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch["text"].fillna("")
+        n = len(texts)
         words = texts.str.lower().str.findall(self.word_re)
-        n_words = words.map(len).clip(lower=1)
-        stop_ratio = words.map(
-            lambda ws: sum(w in self.STOPWORDS for w in ws)
-        ) / n_words
-        mean_wlen = words.map(lambda ws: sum(map(len, ws))).astype(float) / n_words
+        words.index = pd.RangeIndex(n)
+        # one explode + C-level bincounts instead of per-row Python
+        # sums; the divisions below are exact-int / exact-int in
+        # float64 either way, so the floor4 outputs are bit-identical
+        # to the per-row kernel (asserted in tests/test_ops.py)
+        ex = words.explode().dropna()
+        pos = ex.index.to_numpy()
+        n_words = pd.Series(
+            np.maximum(np.bincount(pos, minlength=n), 1), index=batch.index
+        )
+        stop_hits = np.bincount(
+            pos[ex.isin(self.STOPWORDS).to_numpy()], minlength=n
+        )
+        wlen_sum = np.bincount(
+            pos, weights=ex.str.len().to_numpy(dtype=np.float64), minlength=n
+        )
+        stop_ratio = pd.Series(stop_hits, index=batch.index) / n_words
+        mean_wlen = pd.Series(wlen_sum, index=batch.index) / n_words
         n_chars = texts.str.len().clip(lower=1)
         punct_ratio = texts.str.count(RE_PUNCT) / n_chars
         score = (
@@ -191,6 +205,8 @@ class LangId:
         self.cjk = re.compile(r"[一-鿿]")
 
     def predict(self, text: str) -> str:
+        """Single-row reference kernel (kept for tests and ad-hoc use;
+        the batch path is :meth:`predict_batch`)."""
         text = text or ""
         if self.cjk.search(text):
             return "zh"
@@ -206,11 +222,34 @@ class LangId:
                 best, best_n = lang, n
         return best
 
+    def predict_batch(self, texts: pd.Series) -> np.ndarray:
+        """Vectorized :meth:`predict`: one explode + per-language
+        C-level ``isin``/``bincount`` marker counts; ``argmax`` over
+        the marker-language columns reproduces the strict-``>`` loop's
+        first-wins tie-break (en wins all-zero rows, matching the
+        ``best_n = -1`` seed). Row identity with :meth:`predict` is
+        asserted in tests/test_ops.py."""
+        texts = texts.fillna("")
+        n = len(texts)
+        is_zh = texts.str.contains(self.cjk).to_numpy()
+        words = texts.str.lower().str.findall(self.word_re)
+        words.index = pd.RangeIndex(n)
+        ex = words.explode().dropna()
+        pos = ex.index.to_numpy()
+        langs = [lang for lang, m in self.MARKERS.items() if m]
+        counts = np.zeros((n, len(langs)), dtype=np.int64)
+        for j, lang in enumerate(langs):
+            hits = pos[ex.isin(self.MARKERS[lang]).to_numpy()]
+            counts[:, j] = np.bincount(hits, minlength=n)
+        pred = np.asarray(langs, dtype=object)[counts.argmax(axis=1)]
+        pred[is_zh] = "zh"
+        return pred
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
-                "pred_lang": [self.predict(t) for t in batch["text"]],
+                "pred_lang": self.predict_batch(batch["text"]),
                 "lang": batch["lang"],
             }
         )
@@ -720,7 +759,7 @@ def doc_signals(sf_dir: str):
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
-                "pred_lang": [lid.predict(t) for t in batch["text"]],
+                "pred_lang": lid.predict_batch(batch["text"]),
                 "lang": batch["lang"],
                 **_repetition_columns(batch),
             }

@@ -392,6 +392,64 @@ def test_lang_id_accuracy(ray_session):
     assert len(got) == 500
 
 
+def test_lang_id_batch_matches_per_row(ray_session):
+    """predict_batch (explode + isin bincounts + first-wins argmax)
+    must be row-identical to the per-row predict() reference kernel,
+    including the CJK override, empty/None texts and marker ties."""
+    import pandas as pd
+    import numpy as np
+    from lexor_ray.ops.textstats import LangId
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    extra = pd.DataFrame(
+        {
+            "text": [
+                "",
+                None,
+                "你好 world",
+                "le la les et und der die",  # fr/de marker tie shapes
+                "the und",  # en/de one-marker tie -> en (first wins)
+                "12345 !!!",
+            ]
+        }
+    )
+    texts = pd.concat([docs["text"], extra["text"]], ignore_index=True)
+    lid = LangId()
+    vec = lid.predict_batch(texts)
+    ref = np.array([lid.predict(t) for t in texts], dtype=object)
+    assert (vec == ref).all()
+    assert len(lid.predict_batch(texts[:0])) == 0
+
+
+def test_quality_scorer_vectorized_matches_per_row(ray_session):
+    """The explode/bincount QualityScorer must be bit-identical to the
+    per-row map kernel (the oracle mirrors the floor4 floats)."""
+    import pandas as pd
+    from lexor_ray.ops.textstats import QualityScorer, _floor4
+
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    qs = QualityScorer()
+    got = qs(docs)
+    texts = docs["text"].fillna("")
+    words = texts.str.lower().str.findall(qs.word_re)
+    n_words = words.map(len).clip(lower=1)
+    stop_ratio = (
+        words.map(lambda ws: sum(w in qs.STOPWORDS for w in ws)) / n_words
+    )
+    mean_wlen = (
+        words.map(lambda ws: sum(map(len, ws))).astype(float) / n_words
+    )
+    assert (
+        got["stop_ratio"].to_numpy() == _floor4(stop_ratio).to_numpy()
+    ).all()
+    assert (
+        got["mean_word_len"].to_numpy() == _floor4(mean_wlen).to_numpy()
+    ).all()
+    assert len(qs(docs[:0])) == 0
+
+
 def test_token_counts_vectorized_matches_python(ray_session):
     from lexor_ray.ops.textstats import token_counts
     import pyarrow.parquet as pq
