@@ -90,9 +90,10 @@ def _benchmark_state(sf_dir: str) -> tuple[list[str], list[str]]:
     # driver, not after the full derived set has materialized — on a
     # corpus where doc_id % 97 yields millions of donors, take_all()
     # would hit the OOM this guard exists to prevent before the
-    # ValueError could be raised (r4 review). Pre-dedup row counts are
-    # the right cap metric: they are exactly the volume the driver
-    # holds. Backpressure bounds in-flight blocks once iteration stops.
+    # ValueError could be raised (r4 review). Acceptance is judged on
+    # DISTINCT grams (see the cap below); the pre-dedup row count is
+    # only a looser runaway backstop. Backpressure bounds in-flight
+    # blocks once iteration stops.
     snip_rows: list[tuple[int, str]] = []
     gram_set: set[str] = set()
     n_gram_rows = 0

@@ -156,34 +156,33 @@ def _batch_word_hashes(text_col):
     return wh, doc_of, lens
 
 
-def _batch_minhash_sigs(
-    text_col, k: int, a: np.ndarray, b: np.ndarray, chunk_grams: int = 1 << 16
-) -> np.ndarray:
-    """(n_docs, num_perm) MinHash signatures for a whole batch with no
-    per-document Python loop: shingle hashes are mixes of k word
-    hashes (``_GRAM_MIX``), the permutation transform runs over flat
-    gram chunks (bounded transient: chunk_grams × num_perm × 8 B), and
-    per-document minima come from ``np.minimum.reduceat`` segment
-    reduction. Documents with no words keep the U64_MAX sentinel
-    (same contract as the old per-doc path)."""
+def _batch_gram_hashes(text_col, k: int):
+    """Uint64 word-k-gram hashes for every row of an Arrow string
+    column — the ONE shared gram constructor behind
+    :func:`_batch_minhash_sigs` (LSH candidates) and
+    :func:`_batch_shingle_hash_sets` (the verify kernel), so their
+    agreement is structural rather than maintained by hand in two
+    copies (r5 review). Main grams are every window of k word hashes
+    mixed with ``_GRAM_MIX``; a document with 0 < L < k words
+    contributes ONE gram mixing all its words (same contract as the
+    old per-doc string path). Returns ``(gh, gd, n)`` — gram hashes,
+    each gram's document index GROUPED by ascending document, and the
+    document count; duplicate grams are kept."""
     wh, doc_of, lens = _batch_word_hashes(text_col)
     n = len(lens)
-    P = len(a)
-    sigs = np.full((n, P), _U64_MAX, dtype=np.uint64)
     W = len(wh)
     mix = _GRAM_MIX[:k]
+    gh_parts, gd_parts = [], []
     with np.errstate(over="ignore"):
         # main grams: every window of k words inside one document
         if W >= k:
-            gh = np.zeros(W - k + 1, dtype=np.uint64)
+            g = np.zeros(W - k + 1, dtype=np.uint64)
             for j in range(k):
-                gh += wh[j : W - k + 1 + j] * mix[j]
+                g = g + wh[j : W - k + 1 + j] * mix[j]
             valid = doc_of[: W - k + 1] == doc_of[k - 1 :]
-            gh = gh[valid]
-            gram_doc = doc_of[: W - k + 1][valid]
-        else:
-            gh = np.empty(0, dtype=np.uint64)
-            gram_doc = np.empty(0, dtype=np.int64)
+            if valid.any():
+                gh_parts.append(g[valid])
+                gd_parts.append(doc_of[: W - k + 1][valid])
         # short documents (0 < L < k): one gram mixing all L words
         short = (lens > 0) & (lens < k)
         if short.any():
@@ -194,12 +193,34 @@ def _batch_minhash_sigs(
             vals = wh[sw] * mix[pos[sw]]
             sdoc = doc_of[sw]
             starts = np.flatnonzero(np.r_[True, sdoc[1:] != sdoc[:-1]])
-            gh_short = np.add.reduceat(vals, starts)
-            short_docs = sdoc[starts]
-            svals = (gh_short[:, None] * a[None, :] + b[None, :]) % _MERSENNE
-            sigs[short_docs] = svals
-        # chunked permute + segment minima for the main grams
-        if len(gh):
+            gh_parts.append(np.add.reduceat(vals, starts))
+            gd_parts.append(sdoc[starts])
+    if not gh_parts:
+        return np.empty(0, np.uint64), np.empty(0, np.int64), n
+    gh = np.concatenate(gh_parts)
+    gd = np.concatenate(gd_parts)
+    if len(gh_parts) == 2:  # short-doc grams were appended out of order
+        order = np.argsort(gd, kind="stable")
+        gh, gd = gh[order], gd[order]
+    return gh, gd, n
+
+
+def _batch_minhash_sigs(
+    text_col, k: int, a: np.ndarray, b: np.ndarray, chunk_grams: int = 1 << 16
+) -> np.ndarray:
+    """(n_docs, num_perm) MinHash signatures for a whole batch with no
+    per-document Python loop: gram hashes come from the shared
+    :func:`_batch_gram_hashes` constructor, the permutation transform
+    runs over flat gram chunks (bounded transient: chunk_grams ×
+    num_perm × 8 B), and per-document minima come from
+    ``np.minimum.reduceat`` segment reduction. Documents with no words
+    keep the U64_MAX sentinel (same contract as the old per-doc
+    path); a short doc's single gram reduces to itself."""
+    gh, gram_doc, n = _batch_gram_hashes(text_col, k)
+    P = len(a)
+    sigs = np.full((n, P), _U64_MAX, dtype=np.uint64)
+    if len(gh):
+        with np.errstate(over="ignore"):
             counts = np.bincount(gram_doc, minlength=n)
             gdocs = np.flatnonzero(counts)
             gcounts = counts[gdocs]
@@ -545,47 +566,18 @@ def _pairs_with_jaccard(sf_dir: str, threshold: float | None, small_limit=None):
 
 def _batch_shingle_hash_sets(text_col, k: int = 3):
     """Sorted-unique uint64 word-k-shingle hashes for every row of an
-    Arrow string column, with no per-row Python: ONE
-    :func:`_batch_word_hashes` pass, the ``_GRAM_MIX`` k-gram mixer
-    (identical gram hashing to :func:`_batch_minhash_sigs`, including
-    the single join-of-all-words gram for 0<L<k docs), then one global
-    lexsort to de-dup per doc. Returns ``(flat, offs)`` — row i's
-    shingle-hash SET is ``flat[offs[i]:offs[i+1]]``."""
-    wh, doc_of, lens = _batch_word_hashes(text_col)
-    n = len(lens)
-    W = len(wh)
-    mix = _GRAM_MIX[:k]
-    gh_parts, gd_parts = [], []
-    with np.errstate(over="ignore"):
-        if W >= k:
-            g = np.zeros(W - k + 1, dtype=np.uint64)
-            for j in range(k):
-                g = g + wh[j : W - k + 1 + j] * mix[j]
-            valid = doc_of[: W - k + 1] == doc_of[k - 1 :]
-            if valid.any():
-                gh_parts.append(g[valid])
-                gd_parts.append(doc_of[: W - k + 1][valid])
-        short = (lens > 0) & (lens < k)
-        if short.any():
-            sw = short[doc_of]
-            pos = np.arange(W, dtype=np.int64) - np.repeat(
-                np.concatenate([[0], np.cumsum(lens)])[:-1], lens
-            )
-            vals = wh[sw] * mix[pos[sw]]
-            sdoc = doc_of[sw]
-            starts = np.flatnonzero(np.r_[True, sdoc[1:] != sdoc[:-1]])
-            gh_parts.append(np.add.reduceat(vals, starts))
-            gd_parts.append(sdoc[starts])
-    if gh_parts:
-        gh = np.concatenate(gh_parts)
-        gd = np.concatenate(gd_parts)
+    Arrow string column, with no per-row Python: the SAME
+    :func:`_batch_gram_hashes` constructor :func:`_batch_minhash_sigs`
+    uses (so candidate and verify gram hashing agree structurally),
+    then one global lexsort to de-dup per doc. Returns
+    ``(flat, offs)`` — row i's shingle-hash SET is
+    ``flat[offs[i]:offs[i+1]]``."""
+    gh, gd, n = _batch_gram_hashes(text_col, k)
+    if len(gh):
         order = np.lexsort((gh, gd))
         gh, gd = gh[order], gd[order]
         keep = np.r_[True, (gh[1:] != gh[:-1]) | (gd[1:] != gd[:-1])]
         gh, gd = gh[keep], gd[keep]
-    else:
-        gh = np.empty(0, dtype=np.uint64)
-        gd = np.empty(0, dtype=np.int64)
     offs = np.concatenate(
         [[0], np.cumsum(np.bincount(gd, minlength=n))]
     ).astype(np.int64)

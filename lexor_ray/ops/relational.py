@@ -636,7 +636,11 @@ def events_json_stats(sf_dir: str):
             props.str.extract(r'"k"\s*:\s*(-?\d+)(?=\s*[,}])', expand=False),
             errors="coerce",
         )
-        miss = k.isna()
+        # the regex finds the FIRST "k": int ANYWHERE, so only trust it
+        # on FLAT objects (exactly one '{'): a nested object could hold
+        # an inner "k" that json.loads(s).get("k") — and the DuckDB
+        # oracle's $.k — would not return (r5 review)
+        miss = k.isna() | (props.str.count(r"\{") != 1)
         if miss.any():
             k[miss] = props[miss].map(lambda s: json.loads(s).get("k"))
         return k

@@ -489,6 +489,14 @@ def embedding_label_centroids(sf_dir: str):
 #: pathologically oversized cluster (r4 verdict item 8)
 _SEMDEDUP_MAX_CHUNKS = 32
 
+#: hard ceiling on the AUTO-GROWN chunk row count: a degenerate
+#: mega-cluster otherwise scales per-matmul memory as (n/32)² without
+#: bound (r5 review: 10M collapsed vectors → a 312k² ≈ 780 GB sim
+#: matrix). 16384² float64 ≈ 2 GiB per matmul; past this the chunk
+#: COUNT grows again (compute, not memory) — an explicitly larger
+#: ``cluster_cap`` is still honored verbatim.
+_SEMDEDUP_MAX_CHUNK_ROWS = 16384
+
 
 def semdedup(
     sf_dir: str,
@@ -517,12 +525,13 @@ def semdedup(
     is AUTO-SIZED (r4 verdict item 8): ``cluster_cap`` rows while the
     cluster fits ``_SEMDEDUP_MAX_CHUNKS`` such chunks (per-matmul
     memory ≤ cap²), else ``ceil(n / _SEMDEDUP_MAX_CHUNKS)`` so the
-    cross-chunk matmul COUNT stays ≤ C(C−1)/2 ≈ 500 instead of
-    growing quadratically in n — a pathologically skewed cluster
-    trades bounded call count for per-matmul memory that grows as
-    (n/C)². At 100 TB pick k so clusters stay near the cap (the
-    paper's own regime: k grows with corpus size) — both tiers are
-    then moot."""
+    cross-chunk matmul COUNT stays ≤ C(C−1)/2 ≈ 500 — but the
+    auto-grown chunk is HARD-CAPPED at ``_SEMDEDUP_MAX_CHUNK_ROWS``
+    (r5 review): a degenerate mega-cluster pays quadratic matmul
+    COUNT again rather than an unbounded (n/32)² sim matrix, so
+    per-matmul memory never exceeds max(cluster_cap, 16384)². At
+    100 TB pick k so clusters stay near the cap (the paper's own
+    regime: k grows with corpus size) — all tiers are then moot."""
     import ray
 
     centroids = _kmeans_centroids(sf_dir, k, kmeans_iters)
@@ -551,8 +560,14 @@ def semdedup(
         n = len(g)
         dropped = np.zeros(n, dtype=bool)
         # auto-sized chunk: cap rows unless that would mean more than
-        # _SEMDEDUP_MAX_CHUNKS chunks (see docstring)
-        chunk = max(cluster_cap, -(-n // _SEMDEDUP_MAX_CHUNKS))
+        # _SEMDEDUP_MAX_CHUNKS chunks — but never auto-grow a chunk
+        # past _SEMDEDUP_MAX_CHUNK_ROWS (bounded per-matmul memory
+        # beats bounded call count on a degenerate mega-cluster;
+        # see both constants' docstrings)
+        chunk = max(
+            cluster_cap,
+            min(-(-n // _SEMDEDUP_MAX_CHUNKS), _SEMDEDUP_MAX_CHUNK_ROWS),
+        )
         for s in range(0, n, chunk):
             e = embs[s : s + chunk]
             d = np.triu(e @ e.T >= threshold, 1).any(axis=0)

@@ -489,6 +489,20 @@ def run_extraction(
         except (OSError, ValueError):
             prev_ident = None
 
+    def _pid_alive(pid: int) -> bool:
+        if pid <= 0:
+            return False
+        try:
+            os.kill(pid, 0)  # liveness probe only, no signal sent
+        except ProcessLookupError:
+            return False  # pid is gone
+        except OSError:
+            # EPERM: the pid EXISTS but belongs to another uid (e.g. a
+            # root-launched soak probed by a user rerun) — that is a
+            # LIVE holder, not a stale lock (r5 review)
+            return True
+        return True
+
     def _live_foreign_lock() -> bool:
         """True iff another LIVE process holds this out_dir's lock —
         its in-progress parts must not be swept even when the
@@ -498,41 +512,73 @@ def run_extraction(
                 pid = int(fh.read().strip() or 0)
         except (OSError, ValueError):
             return False
-        if pid <= 0 or pid == os.getpid():
+        if pid == os.getpid():
             return False
-        try:
-            os.kill(pid, 0)  # liveness probe only, no signal sent
-        except OSError:
-            return False  # stale lock from a dead run
-        return True
+        return _pid_alive(pid)
 
-    if prev_ident != run_ident and not _live_foreign_lock():
-        expected = {f"part-{ci:05d}" for ci in range(summary["chunks_total"])}
-        for name in os.listdir(manifest_dir):
-            if name.endswith(".json") and name[: -len(".json")] not in expected:
-                os.remove(os.path.join(manifest_dir, name))
-        for name in os.listdir(data_dir):
-            base = (
-                name[1 : -len(".tmp")]
-                if name.startswith(".") and name.endswith(".tmp")
-                else name
-            )
-            if base not in expected:
-                _shutil.rmtree(os.path.join(data_dir, name), ignore_errors=True)
-        rtmp = run_path + ".tmp"
-        with open(rtmp, "w") as fh:
-            json.dump(run_ident, fh)
-        os.replace(rtmp, run_path)
+    if prev_ident != run_ident:
+        if _live_foreign_lock():
+            # sweep deferred — but run.json no longer describes what
+            # the directory will hold once this run lands parts under
+            # a NEW identity, so drop it: the next uncontended run then
+            # sweeps conservatively instead of skipping forever on a
+            # stale identity match (r5 review)
+            try:
+                os.remove(run_path)
+            except OSError:
+                pass
+        else:
+            expected = {
+                f"part-{ci:05d}" for ci in range(summary["chunks_total"])
+            }
+            for name in os.listdir(manifest_dir):
+                if (
+                    name.endswith(".json")
+                    and name[: -len(".json")] not in expected
+                ):
+                    os.remove(os.path.join(manifest_dir, name))
+            for name in os.listdir(data_dir):
+                base = (
+                    name[1 : -len(".tmp")]
+                    if name.startswith(".") and name.endswith(".tmp")
+                    else name
+                )
+                # pid-suffixed tmp names (".part-00001.123.tmp") parse
+                # to a base outside `expected` and are swept here too
+                if base not in expected:
+                    _shutil.rmtree(
+                        os.path.join(data_dir, name), ignore_errors=True
+                    )
+            rtmp = run_path + ".tmp"
+            with open(rtmp, "w") as fh:
+                json.dump(run_ident, fh)
+            os.replace(rtmp, run_path)
 
     def process(ci: int, chunk: list) -> int:
         part = f"part-{ci:05d}"
         mpath = os.path.join(manifest_dir, part + ".json")
         pdir = os.path.join(data_dir, part)
-        tmp = os.path.join(data_dir, "." + part + ".tmp")
+        # pid-suffixed tmp dir: two LIVE runs sharing an out_dir (a
+        # resumed submit beside a soak, ADVICE r4) must never write
+        # into the same in-progress dir (r5 review). Leftover tmp dirs
+        # for this part from DEAD runs (incl. the old un-suffixed
+        # ".part-X.tmp" layout, which parses to owner 0) are reaped;
+        # a live run's tmp is left alone.
+        tmp = os.path.join(data_dir, f".{part}.{os.getpid()}.tmp")
         import shutil
 
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
+        prefix, suffix = "." + part + ".", ".tmp"
+        for name in os.listdir(data_dir):
+            if not (name.startswith(prefix) and name.endswith(suffix)):
+                continue
+            try:
+                owner = int(name[len(prefix) : -len(suffix)])
+            except ValueError:
+                owner = 0
+            if owner == os.getpid() or not _pid_alive(owner):
+                shutil.rmtree(
+                    os.path.join(data_dir, name), ignore_errors=True
+                )
         ds = read_transcripts(chunk)
         ds = extract_ds(
             ds,
@@ -557,12 +603,34 @@ def run_extraction(
         os.rename(mpath + ".tmp", mpath)
         return rec["rows"]
 
-    if not _live_foreign_lock():
-        try:
-            with open(lock_path, "w") as fh:
+    def _acquire_lock() -> None:
+        """Atomic O_CREAT|O_EXCL acquisition: the old check-then-write
+        let two racing runs both 'acquire', after which the loser's
+        clean exit unlinked the winner's lock and left it unprotected
+        against a third run's sweep (r5 review). A dead holder's lock
+        is reaped once and the create retried; losing the race is fine
+        — the loser simply runs lockless, exactly like the old
+        same-identity-concurrent path."""
+        for _ in range(2):
+            try:
+                fd = os.open(
+                    lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+            except FileExistsError:
+                if _live_foreign_lock():
+                    return
+                try:
+                    os.remove(lock_path)  # dead holder — reap, retry
+                except OSError:
+                    return
+                continue
+            except OSError:
+                return
+            with os.fdopen(fd, "w") as fh:
                 fh.write(str(os.getpid()))
-        except OSError:
-            pass
+            return
+
+    _acquire_lock()
     try:
         if max_in_flight <= 1 or len(jobs) <= 1:
             for ci, chunk in jobs:
