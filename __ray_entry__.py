@@ -909,7 +909,8 @@ def oracle_sql() -> dict[str, str]:
         # arithmetic (bijective uint64 finalizer — no hash ties
         # possible) replayed in UHUGEINT mod-2^64; split / stratified
         # sample / per-source cap / global shuffle rank all follow as
-        # pure window/CASE expressions over the two hashes.
+        # pure window/CASE expressions over the three hashes (split/
+        # cap, sampling, and the independent rank stream).
         "corpus_sampling": """
             WITH s0 AS (
                 SELECT doc_id, lang, source,
@@ -918,7 +919,10 @@ def oracle_sql() -> dict[str, str]:
                             % 18446744073709551616::UHUGEINT AS UBIGINT) AS za,
                        CAST((CAST(xor(doc_id, 25214903917) AS UHUGEINT)
                              + 11400714819323198485::UHUGEINT)
-                            % 18446744073709551616::UHUGEINT AS UBIGINT) AS zb
+                            % 18446744073709551616::UHUGEINT AS UBIGINT) AS zb,
+                       CAST((CAST(xor(doc_id, 6364136223846793005) AS UHUGEINT)
+                             + 11400714819323198485::UHUGEINT)
+                            % 18446744073709551616::UHUGEINT AS UBIGINT) AS zc
                 FROM documents
             ), s1 AS (
                 SELECT doc_id, lang, source,
@@ -927,7 +931,10 @@ def oracle_sql() -> dict[str, str]:
                             % 18446744073709551616::UHUGEINT AS UBIGINT) AS za,
                        CAST((CAST(xor(zb, zb >> 30) AS UHUGEINT)
                              * 13787848793156543929::UHUGEINT)
-                            % 18446744073709551616::UHUGEINT AS UBIGINT) AS zb
+                            % 18446744073709551616::UHUGEINT AS UBIGINT) AS zb,
+                       CAST((CAST(xor(zc, zc >> 30) AS UHUGEINT)
+                             * 13787848793156543929::UHUGEINT)
+                            % 18446744073709551616::UHUGEINT AS UBIGINT) AS zc
                 FROM s0
             ), s2 AS (
                 SELECT doc_id, lang, source,
@@ -936,11 +943,15 @@ def oracle_sql() -> dict[str, str]:
                             % 18446744073709551616::UHUGEINT AS UBIGINT) AS za,
                        CAST((CAST(xor(zb, zb >> 27) AS UHUGEINT)
                              * 10723151780598845931::UHUGEINT)
-                            % 18446744073709551616::UHUGEINT AS UBIGINT) AS zb
+                            % 18446744073709551616::UHUGEINT AS UBIGINT) AS zb,
+                       CAST((CAST(xor(zc, zc >> 27) AS UHUGEINT)
+                             * 10723151780598845931::UHUGEINT)
+                            % 18446744073709551616::UHUGEINT AS UBIGINT) AS zc
                 FROM s1
             ), hh AS (
                 SELECT doc_id, lang, source,
-                       xor(za, za >> 31) AS h, xor(zb, zb >> 31) AS hs
+                       xor(za, za >> 31) AS h, xor(zb, zb >> 31) AS hs,
+                       xor(zc, zc >> 31) AS hr
                 FROM s2
             )
             SELECT doc_id,
@@ -954,7 +965,7 @@ def oracle_sql() -> dict[str, str]:
                                             ELSE 10000 END AS sampled,
                    row_number() OVER (PARTITION BY source ORDER BY h) <= 15
                        AS kept_by_cap,
-                   CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT)
+                   CAST(row_number() OVER (ORDER BY hr) - 1 AS BIGINT)
                        AS shuffle_rank
             FROM hh ORDER BY doc_id
         """,

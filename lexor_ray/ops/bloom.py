@@ -120,10 +120,14 @@ def bloom_dedup(sf_dir: str, m: int = 1 << 20, k: int = 4):
     ``(doc_id, n_hit_bits, maybe_dup)``, maybe_dup = all k bits set."""
     import ray
 
+    pos_df = build_bloom_positions(sf_dir, m, k).to_pandas()
+    # Ray drops the schema when EVERY aggregate block is empty (an
+    # empty prior snapshot — same guard as util.heavy_keys, r5
+    # review: the frame then has no 'pos' column at all)
     pos = (
-        build_bloom_positions(sf_dir, m, k)
-        .to_pandas()["pos"]
-        .to_numpy(np.uint64)
+        pos_df["pos"].to_numpy(np.uint64)
+        if "pos" in pos_df.columns
+        else np.empty(0, dtype=np.uint64)
     )
     bitmap = np.zeros(m, dtype=bool)
     bitmap[pos] = True

@@ -78,6 +78,10 @@ def pack_sequences(sf_dir: str, budget: int = 512, n_shards: int = 64):
         return pd.DataFrame(
             {
                 "doc_id": ids,
+                # NOTE oracle parity: Python's \S is Unicode-aware,
+                # DuckDB RE2's is ASCII-only — equal on the generator-
+                # controlled corpus, latent divergence on exotic
+                # whitespace (r5 review)
                 "n_tokens": batch["text"]
                 .fillna("")
                 .str.count(r"\S+")

@@ -14,9 +14,11 @@ training (public recipes: GPT-3 §2.2, The Pile, RefinedWeb, Dolma):
   source, selected by hash order (deterministic, unbiased), computed
   as a distributed partial top-``cap`` + tiny threshold broadcast;
 - **deterministic global shuffle rank** — every document's position
-  under ``ORDER BY splitmix64(doc_id)``, computed with the
-  two-pass histogram + within-bucket rank pattern (a distributed
-  zip-with-index; no global sort materialization on the driver).
+  under ``ORDER BY splitmix64(doc_id XOR RANK_SALT)`` (an independent
+  stream, so capped sources' survivors don't cluster at the low
+  ranks), computed with the two-pass histogram + within-bucket rank
+  pattern (a distributed zip-with-index; no global sort
+  materialization on the driver).
 
 Everything is keyed off :func:`splitmix64` (public domain finalizer,
 Steele et al., "Fast splittable pseudorandom number generators",
@@ -45,6 +47,14 @@ from .util import splitmix64_sql, sql_source as _src, coarse_apply, tbl
 #: decision. Small constant (< 2^63) so int64 xor is sign-safe in
 #: both numpy and DuckDB.
 SAMPLE_SALT = np.uint64(0x5DEECE66D)
+
+#: salt for the shuffle-rank hash (r5 review): rank used to reuse the
+#: split/cap hash ``h``, so a capped source's ``cap`` survivors — the
+#: cap keeps exactly the smallest-h docs — all clustered at the lowest
+#: ranks instead of being uniformly spread through the training order.
+#: A fourth independent stream decorrelates rank from the cap. < 2^63
+#: for sign-safe int64 xor in DuckDB.
+RANK_SALT = np.uint64(0x5851F42D4C957F2D)
 
 #: stratified keep-rates in basis points (of 10_000) per language:
 #: downsample the dominant language, keep the tail whole — the classic
@@ -75,11 +85,16 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
         return z ^ (z >> np.uint64(31))
 
 
-def _doc_hashes(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-    """(h, h_sample) for a batch — h drives split/cap/rank, h_sample
-    (salted) drives stratified sampling."""
+def _doc_hashes(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(h, h_sample, h_rank) for a batch — h drives split/cap,
+    h_sample (salted) stratified sampling, h_rank (salted) the global
+    shuffle rank (independent of the cap decision, r5 review)."""
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-    return splitmix64(ids), splitmix64(ids ^ SAMPLE_SALT)
+    return (
+        splitmix64(ids),
+        splitmix64(ids ^ SAMPLE_SALT),
+        splitmix64(ids ^ RANK_SALT),
+    )
 
 
 def _cap_thresholds_and_rank_offsets(ds, cap: int):
@@ -91,9 +106,9 @@ def _cap_thresholds_and_rank_offsets(ds, cap: int):
       (inclusive), or 2^64-1 when the source has ≤ cap documents —
       distributed partial top-``cap`` per batch, merged per source,
       the driver only ever sees ≤ ``cap`` rows per source;
-    - rank offsets: exclusive prefix sums of the h-bucket histogram
-      (h >> 52, 4096 buckets) — per-batch partial counts, one small
-      groupby, ≤ 4096 rows to the driver.
+    - rank offsets: exclusive prefix sums of the h_rank-bucket
+      histogram (h_rank >> 52, 4096 buckets) — per-batch partial
+      counts, one small groupby, ≤ 4096 rows to the driver.
 
     The per-batch partial emits a tagged union (kind 0 = cap
     candidate rows, kind 1 = bucket counts); the union is tiny
@@ -103,7 +118,7 @@ def _cap_thresholds_and_rank_offsets(ds, cap: int):
     shift = np.uint64(64 - _RANK_BUCKET_BITS)
 
     def partial(batch: pa.Table) -> pa.Table:
-        h, _ = _doc_hashes(batch)
+        h, _, hr = _doc_hashes(batch)
         df = pd.DataFrame(
             {"source": batch.column("source").to_pandas(), "h": h}
         )
@@ -112,7 +127,7 @@ def _cap_thresholds_and_rank_offsets(ds, cap: int):
             .groupby("source", sort=False)
             .head(cap)
         )
-        b, c = np.unique((h >> shift).astype(np.int64), return_counts=True)
+        b, c = np.unique((hr >> shift).astype(np.int64), return_counts=True)
         nk, nb = len(kept), len(b)
         return pa.table(
             {
@@ -225,15 +240,21 @@ def corpus_sampling(
     shift = np.uint64(64 - _RANK_BUCKET_BITS)
 
     def decide(batch: pa.Table) -> pa.Table:
-        thr = ray.get(thr_ref)
-        h, hs = _doc_hashes(batch)
+        # worker-cached broadcast (cached_for_ref convention, r5
+        # review: ray.get per batch re-deserializes the dict)
+        from .util import cached_for_ref
+
+        thr = cached_for_ref("corpus-cap-thr", thr_ref, lambda: ray.get(thr_ref))
+        h, hs, hr = _doc_hashes(batch)
         langs = batch.column("lang").to_pandas()
         sources = batch.column("source").to_pandas()
         mod = (h % np.uint64(1000)).astype(np.int64)
         split = np.where(
             mod < TRAIN_BP, "train", np.where(mod < VALID_BP, "valid", "test")
         )
-        rate = langs.map(lambda l: rates.get(l, 10000)).to_numpy(dtype=np.int64)
+        # Series.map(dict) is the vectorized lookup (r5 review: the
+        # per-row lambda ran Python per document on the hot pass)
+        rate = langs.map(rates).fillna(10000).to_numpy(dtype=np.int64)
         sampled = (hs % np.uint64(10000)).astype(np.int64) < rate
         thr_arr = sources.map(thr).to_numpy(dtype=np.uint64)
         kept = h <= thr_arr
@@ -243,16 +264,20 @@ def corpus_sampling(
                 "split": pa.array(split.astype(object), type=pa.string()),
                 "sampled": pa.array(sampled),
                 "kept_by_cap": pa.array(kept),
-                "h": pa.array(h, type=pa.uint64()),
-                "rank_bucket": pa.array((h >> shift).astype(np.int64)),
+                "hr": pa.array(hr, type=pa.uint64()),
+                "rank_bucket": pa.array((hr >> shift).astype(np.int64)),
             }
         )
 
     decided = ds.map_batches(decide, batch_format="pyarrow")
 
     def assign_rank(g: pd.DataFrame) -> pd.DataFrame:
-        offsets = ray.get(off_ref)
-        g = g.sort_values(["rank_bucket", "h"], kind="mergesort")
+        from .util import cached_for_ref
+
+        offsets = cached_for_ref(
+            "corpus-rank-off", off_ref, lambda: ray.get(off_ref)
+        )
+        g = g.sort_values(["rank_bucket", "hr"], kind="mergesort")
         within = g.groupby("rank_bucket", sort=False).cumcount().to_numpy()
         base = offsets[g["rank_bucket"].to_numpy()]
         out = g[["doc_id", "split", "sampled", "kept_by_cap"]].copy()
@@ -289,7 +314,8 @@ def mixture_weights(sf_dir: str, source_epochs: dict[str, float] | None = None):
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
         h = splitmix64(ids ^ MIX_SALT)
         src = batch.column("source").to_pandas()
-        e = src.map(lambda s: epochs.get(s, 1.0)).to_numpy(dtype=np.float64)
+        # vectorized dict lookup (r5 review: per-row lambda)
+        e = src.map(epochs).fillna(1.0).to_numpy(dtype=np.float64)
         whole = np.floor(e).astype(np.int64)
         frac_bp = np.round((e - whole) * 10000).astype(np.int64)
         extra = (h % np.uint64(10000)).astype(np.int64) < frac_bp

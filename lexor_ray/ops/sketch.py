@@ -179,6 +179,12 @@ def heavy_hitter_terms(sf_dir: str, k: int = 20):
     ds = tbl(sf_dir, "documents", columns=["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        # NOTE oracle parity: .str.split() splits on UNICODE whitespace
+        # while the DuckDB oracle's RE2 '\S+' treats only ASCII
+        # [\t\n\f\r ] as separators — equal on the generator-controlled
+        # corpus (no exotic whitespace, verified), latent divergence on
+        # text containing U+00A0/\x0b (r5 review; same class as the
+        # CLAUDE.md Series.str.split literal-vs-regex rule)
         toks = (
             batch.to_pandas()["text"].fillna("").str.split().explode().dropna()
         )
@@ -245,6 +251,12 @@ def cms_heavy_hitters(sf_dir: str, k: int = 20, w: int = 1 << 13, cand: int = 64
     ds = tbl(sf_dir, "documents", columns=["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        # NOTE oracle parity: .str.split() splits on UNICODE whitespace
+        # while the DuckDB oracle's RE2 '\S+' treats only ASCII
+        # [\t\n\f\r ] as separators — equal on the generator-controlled
+        # corpus (no exotic whitespace, verified), latent divergence on
+        # text containing U+00A0/\x0b (r5 review; same class as the
+        # CLAUDE.md Series.str.split literal-vs-regex rule)
         toks = (
             batch.to_pandas()["text"].fillna("").str.split().explode().dropna()
         )
@@ -401,16 +413,21 @@ def value_quantile_sketch(
                     .tolist(),
                 }
             )
-        return pa.Table.from_pylist(rows) if rows else pa.table(
-            {
-                key_col: pa.array([], pa.string()),
-                "degraded": pa.array([], pa.bool_()),
-                "vals": pa.array([], pa.list_(pa.float64())),
-                "cnts": pa.array([], pa.list_(pa.int64())),
-                "res_h": pa.array([], pa.list_(pa.int64())),
-                "res_v": pa.array([], pa.list_(pa.float64())),
-            }
+        # one EXPLICIT schema for every partial (r5 review: from_pylist
+        # inferred vals/cnts as list<null> when a batch's keys were all
+        # degraded, mixing block schemas across the shuffle; the key
+        # type comes from the input so non-string keys work too)
+        schema = pa.schema(
+            [
+                (key_col, batch.schema.field(key_col).type),
+                ("degraded", pa.bool_()),
+                ("vals", pa.list_(pa.float64())),
+                ("cnts", pa.list_(pa.int64())),
+                ("res_h", pa.list_(pa.int64())),
+                ("res_v", pa.list_(pa.float64())),
+            ]
         )
+        return pa.Table.from_pylist(rows, schema=schema)
 
     sketches = ds.map_batches(partial, batch_format="pyarrow")
 

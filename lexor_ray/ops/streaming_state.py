@@ -66,9 +66,11 @@ def first_tool_turn_flags(sf_dir: str, n_buckets: int = 64, src: str | None = No
             }
         )
 
-    return coarse_apply(ds, ["conv_id"], flags, n_buckets=n_buckets).sort(
-        ["conv_id", "turn_idx"]
-    )
+    # UNORDERED output (README ordering contract — the trailing
+    # (conv_id, turn_idx) sort was a data-sized all-to-all whose only
+    # purpose was display order; r5 review): the driver compare is
+    # order-insensitive and tests sort before positional compare.
+    return coarse_apply(ds, ["conv_id"], flags, n_buckets=n_buckets)
 
 
 def first_tool_turn_flags_actors(

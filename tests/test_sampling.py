@@ -29,6 +29,7 @@ def test_corpus_sampling_matches_local_recompute(ray_session):
 
     from lexor_ray.ops.sampling import (
         DEFAULT_LANG_RATES_BP,
+        RANK_SALT,
         SAMPLE_SALT,
         TRAIN_BP,
         VALID_BP,
@@ -56,7 +57,10 @@ def test_corpus_sampling_matches_local_recompute(ray_session):
         .to_numpy()
     )
     want_kept = rank_in_source <= 15
-    want_rank = np.argsort(np.argsort(h))
+    # rank rides its own salted stream, independent of the cap hash
+    # (r5 review: survivors of a capped source must not cluster at
+    # the lowest ranks)
+    want_rank = np.argsort(np.argsort(splitmix64(ids ^ RANK_SALT)))
 
     got = got.sort_values("doc_id").reset_index(drop=True)
     order = np.argsort(docs["doc_id"].to_numpy())
