@@ -57,16 +57,21 @@ def _labels_and_tokens(batch: pd.DataFrame, min_words: int, max_punct_pct: int):
     """(is_train, label, token lists) for a batch — the teacher rule
     (integer arithmetic, identical to filter_quality_documents) plus
     the deterministic split hash."""
+    # char classes come from textstats — the declared single source of
+    # truth (r5 review: inline copies silently diverge the NB/LM
+    # training labels from the filter they distill)
+    from .textstats import RE_PUNCT, RE_WORD
+
     texts = batch["text"].fillna("")
     n_chars = texts.str.len().astype("int64")
-    n_words = texts.str.count(r"\S+").astype("int64")
-    n_punct = texts.str.count(r"[!-/:-@\[-`{-~]").astype("int64")
+    n_words = texts.str.count(RE_WORD).astype("int64")
+    n_punct = texts.str.count(RE_PUNCT).astype("int64")
     label = (
         (n_words >= min_words) & (n_punct * 100 <= n_chars * max_punct_pct)
     ).to_numpy()
     h = splitmix64(batch["doc_id"].to_numpy(np.int64).view(np.uint64))
     is_train = (h % np.uint64(1000)).astype(np.int64) < TRAIN_BP
-    return is_train, label, texts.str.findall(r"\S+")
+    return is_train, label, texts.str.findall(RE_WORD)
 
 
 def prune_word_counts(
@@ -295,18 +300,28 @@ def nb_quality_scores(
     ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        # ONE replace-on-new-ref cache slot (review fix: per-ref keys
-        # accumulate every historical model in long-lived sessions)
-        from .util import cached_for_ref
-
-        def build():
-            m_ = ray.get(model_ref)
-            return m_, pd.Index(m_["words"])
-
-        m, idx = cached_for_ref("nb-quality", model_ref, build)
+        m, idx = cached_nb(model_ref)
         return nb_score_batch(m, idx, batch, min_words, max_punct_pct)
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def cached_nb(model_ref):
+    """Worker-cached ``(model, word Index)`` for a broadcast NB model
+    — ONE replace-on-new-ref slot (review fix: per-ref keys accumulate
+    every historical model in long-lived sessions), shared by
+    :func:`nb_quality_scores` and the fused ``lm.model_quality``
+    scorer (r5 review: the build closure was duplicated
+    line-for-line there)."""
+    import ray
+
+    from .util import cached_for_ref
+
+    def build():
+        m_ = ray.get(model_ref)
+        return m_, pd.Index(m_["words"])
+
+    return cached_for_ref("nb-quality", model_ref, build)
 
 
 def nb_quality_oracle_sql(

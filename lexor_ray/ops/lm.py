@@ -78,10 +78,12 @@ _ALPHA = 0.4
 def _doc_tokens(batch: pd.DataFrame):
     """(is_train, token-list Series) for a batch — identical
     tokenization and split hash to ``ops.classify``."""
+    from .textstats import RE_WORD  # single source of truth (r5 review)
+
     texts = batch["text"].fillna("")
     h = splitmix64(batch["doc_id"].to_numpy(np.int64).view(np.uint64))
     is_train = (h % np.uint64(1000)).astype(np.int64) < TRAIN_BP
-    return is_train, texts.str.findall(r"\S+")
+    return is_train, texts.str.findall(RE_WORD)
 
 
 def _prev_cur(toks: pd.Series, keep: np.ndarray):
@@ -466,13 +468,9 @@ def model_quality(
     ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        from .util import cached_for_ref
+        from .classify import cached_nb
 
-        def build():
-            m_ = ray.get(nb_ref)
-            return m_, pd.Index(m_["words"])
-
-        nb_m, nb_idx = cached_for_ref("nb-quality", nb_ref, build)
+        nb_m, nb_idx = cached_nb(nb_ref)
         nb = nb_score_batch(nb_m, nb_idx, batch, min_words, max_punct_pct)
         lm = lm_score_batch(*_cached_lm(lm_ref), batch)
         # same batch, same row order; LM's n_tokens/is_train are

@@ -422,12 +422,18 @@ def media_pipeline(sf_dir: str, frame_bytes: int = 16, every_k: int = 4,
             n_frames.append(len(range(0, len(p) // frame_bytes, every_k)))
             # decode ONCE; features and the resize checksum both come
             # from the same pixel array (this stage's whole point is
-            # one fused scan)
+            # one fused scan — r5 review: the fake branch re-ran the
+            # frombuffer decode it already had in hand; mean/std over
+            # the (h, w) reshape equal those over the raw bytes, and
+            # shape[0]*shape[1] == len(payload) by the generator's
+            # exact-size contract). The honest env-limited stub error
+            # for unknown media types is kept explicit.
+            if m not in StubDecoder.REAL_DECODE and m != "image/fake":
+                raise NotImplementedError(
+                    f"no codec for {m!r} in this environment"
+                )
             img = decode_image(p, m, w, h)
-            if m in StubDecoder.REAL_DECODE:
-                feats = dec.features_from_pixels(img, p)
-            else:
-                feats = dec.decode_features(p, m)
+            feats = dec.features_from_pixels(img, p)
             feat_mean.append(float(np.round(feats[0], 3)))
             yi = (np.arange(out_h) * h) // out_h
             xi = (np.arange(out_w) * w) // out_w
@@ -481,17 +487,21 @@ def media_golden_path(
     marker = os.path.join(out_dir, "_meta.txt")
     path = os.path.join(out_dir, "golden.parquet")
     with _MEDIA_GOLDEN_LOCK:
-        ids = pq.read_table(
-            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
-        )["doc_id"].to_numpy(zero_copy_only=False)
+        # the stamp only needs the row COUNT — metadata-only, so the
+        # gate's cache-hit path never reads a data column (r5 review)
+        src_pq = os.path.join(sf_dir, "documents.parquet")
+        n_docs = pq.ParquetFile(src_pq).metadata.num_rows
         stamp = (
-            f"gen={MEDIA_GOLDEN_VERSION} docs={len(ids)} fb={frame_bytes} "
+            f"gen={MEDIA_GOLDEN_VERSION} docs={n_docs} fb={frame_bytes} "
             f"k={every_k} w={out_w} h={out_h}\n"
         )
         if os.path.exists(marker) and os.path.exists(path):
             with open(marker) as fh:
                 if fh.read() == stamp:
                     return path
+        ids = pq.read_table(src_pq, columns=["doc_id"])[
+            "doc_id"
+        ].to_numpy(zero_copy_only=False)
         os.makedirs(out_dir, exist_ok=True)
         yi_cache = {}
         n_bytes, feat_mean, n_frames, checks = [], [], [], []

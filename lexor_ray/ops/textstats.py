@@ -25,7 +25,9 @@ def token_counts(sf_dir: str):
     ds = tbl(sf_dir, "documents", columns=["doc_id", "text"])
 
     def counts(batch: pa.Table) -> pa.Table:
-        text = batch["text"]
+        # null text counts as empty, like every pandas path's fillna
+        # (r5 review: the arrow kernels propagate null → NaN rows)
+        text = pc.fill_null(batch["text"], "")
         n_chars = pc.utf8_length(text)
         toks = pc.count_substring_regex(text, r"\S+")
         return pa.table(
@@ -53,7 +55,9 @@ RE_UPPER = r"[A-Z]"
 def _quality_signals(text: "pa.ChunkedArray") -> dict:
     """Shared integer quality kernels — single source of truth for
     the char classes used by quality_counts AND the quality filter
-    (and mirrored in their DuckDB oracles)."""
+    (and mirrored in their DuckDB oracles). Null text counts as
+    empty (r5 review), matching the pandas mirrors' fillna."""
+    text = pc.fill_null(text, "")
     return {
         "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
         "n_words": pc.cast(pc.count_substring_regex(text, RE_WORD), pa.int64()),
@@ -465,12 +469,27 @@ def tfidf_top_terms(sf_dir: str, top_k: int = 3, min_df: int = 2, vocab_limit=No
             }
         )
 
-    from ray.data.aggregate import Sum
+    from .util import coarse_apply
 
-    df_ds = (
-        ds.map_batches(doc_terms, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("n_sum", alias_name="df"))
+    # document-frequency merge via ONE coarse keyed shuffle + a
+    # C-level per-bucket sum (r5 review: sort-based
+    # groupby('term').aggregate(Sum) on vocabulary-scale STRING keys
+    # is the shape lm.py measured 11× slower than coarse_apply)
+    def merge_df(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "term": pd.Series([], dtype=object),
+                    "df": pd.Series([], dtype="int64"),
+                }
+            )
+        m = g.groupby("term", sort=False)["n_sum"].sum()
+        return pd.DataFrame(
+            {"term": m.index.to_numpy(object), "df": m.to_numpy(np.int64)}
+        )
+
+    df_ds = coarse_apply(
+        ds.map_batches(doc_terms, batch_format="pyarrow"), ["term"], merge_df
     )
 
     def keep_min_df(batch: pa.Table) -> pa.Table:
@@ -508,7 +527,11 @@ def tfidf_top_terms(sf_dir: str, top_k: int = 3, min_df: int = 2, vocab_limit=No
         # in the same order as the old per-doc loop ((c/n_words)*idf,
         # floor(s*1e6)/1e6), so scores stay bit-identical to the
         # DuckDB oracle.
-        idf_map = ray.get(idf_ref)
+        # worker-cached broadcast (r5 review: ray.get per batch
+        # re-deserialized the up-to-vocab_limit idf dict every batch)
+        from .util import cached_for_ref
+
+        idf_map = cached_for_ref("tfidf-idf", idf_ref, lambda: ray.get(idf_ref))
         batch = batch.reset_index(drop=True)
         words = batch["text"].fillna("").str.lower().str.split()
         n_words = words.map(len)
@@ -647,10 +670,17 @@ def _tfidf_joined(ds, df_ds, n_docs: int, top_k: int):
             int(d): math.log((1.0 + n_docs) / (1.0 + int(d))) + 1.0
             for d in batch["df"].unique()
         }
-        s = [
-            (c / nw) * idf_by_df[int(d)]
-            for c, nw, d in zip(batch["c"], batch["n_words"], batch["df"])
-        ]
+        # vectorized (r5 review: the per-row list comprehension ran
+        # Python over every joined tf row on the tier that only
+        # engages at huge scale). Elementwise float64 divide/multiply
+        # is IEEE-identical to the scalar ops in the same order.
+        idf_arr = (
+            batch["df"].astype("int64").map(idf_by_df).to_numpy(np.float64)
+        )
+        s = (
+            batch["c"].to_numpy(np.float64)
+            / batch["n_words"].to_numpy(np.float64)
+        ) * idf_arr
         return pd.DataFrame(
             {
                 "source": batch["source"],
@@ -779,7 +809,16 @@ def doc_length_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
     ds = tbl(sf_dir, "documents", columns=["text"])
 
     def hist(batch: pa.Table) -> pa.Table:
-        t = pa.table({"n": pc.cast(pc.utf8_length(batch["text"]), pa.int64())})
+        # null text counts as length 0 (r5 review: a null n would ride
+        # the histogram into the driver walk as NaN)
+        t = pa.table(
+            {
+                "n": pc.cast(
+                    pc.utf8_length(pc.fill_null(batch["text"], "")),
+                    pa.int64(),
+                )
+            }
+        )
         return t.group_by(["n"]).aggregate([("n", "count")])
 
     from ray.data.aggregate import Sum
