@@ -481,17 +481,23 @@ def _broadcast_pair_texts(cand, docs):
     tmap_ref = ray.put(dict(zip(texts["doc_id"], texts["text"])))
 
     def attach(batch: pd.DataFrame) -> pd.DataFrame:
-        t = ray.get(tmap_ref)
+        from .util import cached_for_ref
+
+        t = cached_for_ref("pair-texts", tmap_ref, lambda: ray.get(tmap_ref))
         out = batch[["a", "b"]].copy()
         out["text_a"] = out["a"].map(t)
         out["text_b"] = out["b"].map(t)
         return out
 
     # re-distribute the deduped pairs over several blocks so the
-    # jaccard verify parallelizes
+    # jaccard verify parallelizes. Split by INDEX ranges + iloc:
+    # np.array_split on a DataFrame goes through the deprecated
+    # DataFrame.swapaxes and breaks on pandas 3.x (r5 review)
     n_blocks = max(1, min(32, len(cdf) // 4096 + 1))
     pair_ds = ray.data.from_pandas(
-        list(np.array_split(cdf, n_blocks)) if len(cdf) else [cdf]
+        [cdf.iloc[idx] for idx in np.array_split(np.arange(len(cdf)), n_blocks)]
+        if len(cdf)
+        else [cdf]
     )
     return pair_ds.map_batches(attach, batch_format="pandas")
 

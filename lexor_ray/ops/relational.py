@@ -637,12 +637,25 @@ def events_json_stats(sf_dir: str):
             errors="coerce",
         )
         # the regex finds the FIRST "k": int ANYWHERE, so only trust it
-        # on FLAT objects (exactly one '{'): a nested object could hold
-        # an inner "k" that json.loads(s).get("k") — and the DuckDB
-        # oracle's $.k — would not return (r5 review)
-        miss = k.isna() | (props.str.count(r"\{") != 1)
+        # on provably FLAT scalar objects (r5 review, tightened): one
+        # '{' (no nested objects), no '[' (no arrays / non-object top
+        # level), and no '\' — a '"k":' embedded in a STRING value
+        # would need \" escapes, so escape-free flat objects can only
+        # match the real top-level key. Everything else goes through
+        # json.loads, like the DuckDB oracle's $.k (None for a
+        # non-object top level).
+        fast_ok = (
+            (props.str.count(r"\{") == 1)
+            & ~props.str.contains("[", regex=False)
+            & ~props.str.contains("\\", regex=False)
+        )
+        miss = k.isna() | ~fast_ok
         if miss.any():
-            k[miss] = props[miss].map(lambda s: json.loads(s).get("k"))
+            k[miss] = props[miss].map(
+                lambda s: (
+                    lambda o: o.get("k") if isinstance(o, dict) else None
+                )(json.loads(s))
+            )
         return k
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
