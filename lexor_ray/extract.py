@@ -88,7 +88,6 @@ class Extractor:
             for name, rule in d.converters.items()
             if not rule.copy and name != "?*"
         )
-        self._drop_pis = not d.convert_rule("?x").copy
         default = d.converters.get("__default__")
         from .dialects.html import _DEFAULT_PARSERS as _STOCK_HTML
 
@@ -100,6 +99,12 @@ class Extractor:
                 for rule in d.converters.values()
             )
             and (default is None or default.copy)
+            # the scanner unconditionally EMITS text and entity runs,
+            # so their effective rules must be copies — a '#text' or
+            # '#entity' DROP rule passes the all() above but would
+            # silently diverge from the Converter path (r5 review)
+            and d.convert_rule("#text").copy
+            and d.convert_rule("#entity").copy
             and not d.hooks  # lifecycle hooks force the full Converter path
             # the flat scanner hardcodes the stock HTML token grammar;
             # a dialect with a customized parser_mapping must take the
@@ -113,11 +118,19 @@ class Extractor:
         # but element-rule-bearing dialects still qualify — elements
         # cannot occur without candidate chars)
         t_rule = d.convert_rule("#text")
+        # the '#document' rule can transform even a markup-free doc
+        # (copy_children=False empties it; start/end hooks rewrite it)
+        # — the shortcut must respect it like _pure does (r5 review)
+        doc_rule = d.convert_rule("#document")
         self._identity_ok = (
             not d.hooks
             and t_rule.copy
             and t_rule.start is None
             and t_rule.end is None
+            and doc_rule.copy
+            and doc_rule.copy_children
+            and doc_rule.start is None
+            and doc_rule.end is None
         )
 
     def extract_one(self, text: str, uri: str | None = None) -> dict:
@@ -152,13 +165,17 @@ class Extractor:
         return self.parser.parse(text, uri)
 
 
-_DEFAULT: Extractor | None = None
+#: per-requested-NAME cache (bounded: dialect names are a small fixed
+#: set). Keyed by the argument, not Dialect.name — a registered alias
+#: (e.g. 'xml' resolving to the 'html' dialect) would otherwise miss
+#: the cache and rebuild the Extractor per call (r5 review).
+_DEFAULT: dict[str, Extractor] = {}
 
 
 def extract_one(text: str, dialect: str = "html-text") -> dict:
     """Module-level convenience for tests / single-shot use. Ray stages
     construct their own :class:`Extractor` in actor ``__init__``."""
-    global _DEFAULT
-    if _DEFAULT is None or _DEFAULT.parser.dialect.name != dialect:
-        _DEFAULT = Extractor(dialect)
-    return _DEFAULT.extract_one(text)
+    ext = _DEFAULT.get(dialect)
+    if ext is None:
+        ext = _DEFAULT[dialect] = Extractor(dialect)
+    return ext.extract_one(text)

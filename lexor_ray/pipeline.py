@@ -317,7 +317,13 @@ def conversation_stats(ds, salt_buckets: int = 8):
             {
                 "conv_id": batch["conv_id"],
                 "salt": salt,
-                "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+                # fill_null so ("n_chars", "count") counts EVERY turn —
+                # a null text row otherwise vanishes from n_turns while
+                # the oracle's count(*) keeps it (r5 review)
+                "n_chars": pc.cast(
+                    pc.utf8_length(pc.fill_null(batch["text"], "")),
+                    pa.int64(),
+                ),
             }
         )
         return t.group_by(["conv_id", "salt"]).aggregate(
@@ -439,6 +445,18 @@ def run_extraction(
         )
     else:
         files = [input_path]
+    # refuse to run — and in particular to SWEEP a previous successful
+    # run's parts — on an empty or nonexistent input set: a mistyped
+    # path or a transiently unmounted dir must not become data loss
+    # (r5 review)
+    if not files:
+        raise ValueError(
+            f"no .parquet inputs under {input_path!r}; refusing to run "
+            "(the orphan sweep would delete the previous run's output)"
+        )
+    missing = [f for f in files if "://" not in f and not os.path.exists(f)]
+    if missing:
+        raise ValueError(f"input paths do not exist: {missing[:3]}")
     manifest_dir = os.path.join(out_dir, "manifest")
     data_dir = os.path.join(out_dir, "data")
     os.makedirs(manifest_dir, exist_ok=True)
@@ -450,8 +468,11 @@ def run_extraction(
         mpath = os.path.join(manifest_dir, part + ".json")
         summary["chunks_total"] += 1
         if os.path.exists(mpath):
-            with open(mpath) as fh:
-                rec = json.load(fh)
+            try:
+                with open(mpath) as fh:
+                    rec = json.load(fh)
+            except (OSError, ValueError):
+                rec = {}  # corrupt/partial manifest → reprocess (r5)
             if rec.get("inputs") == chunk:  # same fragment identity
                 summary["chunks_skipped"] += 1
                 summary["rows"] += rec.get("rows", 0)
@@ -506,11 +527,30 @@ def run_extraction(
     def _live_foreign_lock() -> bool:
         """True iff another LIVE process holds this out_dir's lock —
         its in-progress parts must not be swept even when the
-        chunking identity differs."""
+        chunking identity differs. Pid-based liveness can
+        false-positive on a RECYCLED pid (or another uid's unrelated
+        process via EPERM) — the failure mode is then a permanently
+        deferred sweep, healed by manually deleting ``.run.lock``;
+        erring live is the safe direction (a false 'dead' would sweep
+        a running job's parts)."""
         try:
             with open(lock_path) as fh:
-                pid = int(fh.read().strip() or 0)
-        except (OSError, ValueError):
+                raw = fh.read().strip()
+        except OSError:
+            return False
+        if not raw:
+            # the holder may sit between the O_EXCL create and the pid
+            # write — a FRESH empty lock counts as live; an old one is
+            # debris from a crash inside that window (r5 review)
+            import time
+
+            try:
+                return (time.time() - os.path.getmtime(lock_path)) < 60.0
+            except OSError:
+                return False
+        try:
+            pid = int(raw)
+        except ValueError:
             return False
         if pid == os.getpid():
             return False
@@ -579,6 +619,20 @@ def run_extraction(
                 shutil.rmtree(
                     os.path.join(data_dir, name), ignore_errors=True
                 )
+        # same reap for crash-orphaned manifest tmp files (r5 review)
+        mprefix = part + ".json."
+        for name in os.listdir(manifest_dir):
+            if not (name.startswith(mprefix) and name.endswith(suffix)):
+                continue
+            try:
+                owner = int(name[len(mprefix) : -len(suffix)])
+            except ValueError:
+                owner = 0
+            if owner == os.getpid() or not _pid_alive(owner):
+                try:
+                    os.remove(os.path.join(manifest_dir, name))
+                except OSError:
+                    pass
         ds = read_transcripts(chunk)
         ds = extract_ds(
             ds,
@@ -594,13 +648,30 @@ def run_extraction(
         # traffic cost more than the column-pruned read-back saves, so
         # the streaming write + distributed read-back stays.
         ds.write_parquet(tmp)
+        if os.path.exists(mpath):
+            # another live same-identity run completed this chunk while
+            # we computed it — keep ITS landed output (its lineage read
+            # may still be in flight on pdir) and discard ours instead
+            # of rmtree'ing the dir out from under it (r5 review)
+            try:
+                with open(mpath) as fh:
+                    done = json.load(fh)
+            except (OSError, ValueError):
+                done = {}
+            if done.get("inputs") == chunk:
+                shutil.rmtree(tmp, ignore_errors=True)
+                return done["rows"]
         if os.path.exists(pdir):
             shutil.rmtree(pdir)
         os.rename(tmp, pdir)
         rec = _chunk_lineage(pdir, chunk)
-        with open(mpath + ".tmp", "w") as fh:
+        # pid-suffixed manifest tmp: concurrent runs must never
+        # interleave writes into one tmp file and rename corrupt JSON
+        # into place (r5 review)
+        mtmp = mpath + f".{os.getpid()}.tmp"
+        with open(mtmp, "w") as fh:
             json.dump(rec, fh)
-        os.rename(mpath + ".tmp", mpath)
+        os.rename(mtmp, mpath)
         return rec["rows"]
 
     def _acquire_lock() -> None:
