@@ -183,6 +183,11 @@ def document_dialect(name: str) -> str:
     lines.append("## writer rules")
     lines.append("")
     for key, w in sorted(d.writers.items()):
+        if isinstance(w, str):
+            # alias entry ('h2': 'h1') — point at the target rule
+            # instead of documenting the str class (r5 review)
+            lines.append(f"- `{key}`: alias of `{w}`")
+            continue
         nm = getattr(w, "__name__", type(w).__name__)
         doc = first_line(w)
         lines.append(f"- `{key}`: `{nm}`" + (f" — {doc}" if doc else ""))

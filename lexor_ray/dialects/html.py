@@ -110,10 +110,13 @@ class ElementParser(NodeParser):
                     vm = _UNQUOTED.match(text, j)
                     aval = vm.group(0)
                     i = vm.end()
-                    # don't slurp the '/' of a trailing '/>'
-                    if aval.endswith("/") and i < end and text[i] == ">":
-                        aval = aval[:-1]
-                        i -= 1
+                    # HTML5 unquoted-attribute-value rule: '/' is value
+                    # data — '<a href=http://x/>' keeps the trailing
+                    # slash and the tag is NOT self-closing, matching
+                    # browsers (r5 review; the old special case
+                    # truncated the URL and emptied the link text).
+                    # Explicit self-closing still works with a space:
+                    # '<p a=1 />'.
             else:
                 i = j if j > i else i
             attrs.append((aname, aval))

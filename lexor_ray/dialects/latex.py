@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import re
 
-from ..core.dom import Comment, Element, RawText, Void
+from ..core.dom import Comment, Element, Entity, RawText, Void
 from ..core.parser import NodeParser
 from .registry import ConvertRule, Dialect, register_dialect
 
@@ -124,6 +124,32 @@ class GroupParser(NodeParser):
         return None
 
 
+#: single-char escapes: ``\%`` etc. yield the literal character
+_TEX_ESCAPES = "%$&#_{}"
+
+
+class EscapeParser(NodeParser):
+    """``\\%`` and the other single-char escapes — an Entity holding
+    the literal character with the span of the two-char source escape
+    (r5 review: ``\\%`` previously leaked the backslash as text and
+    the ``%`` swallowed the rest of the line as a comment; ``\\{``
+    similarly opened a spurious group)."""
+
+    def make_node(self):
+        p = self.parser
+        if (
+            p.text[p.caret] != "\\"
+            or p.caret + 1 >= p.end
+            or p.text[p.caret + 1] not in _TEX_ESCAPES
+        ):
+            return None
+        node = Entity(p.text[p.caret + 1])
+        node.span = (p.caret, p.caret + 2)
+        node.pos = p.copy_pos()
+        p.update(p.caret + 2)
+        return node
+
+
 class TexCommentParser(NodeParser):
     """``%`` to end of line."""
 
@@ -188,7 +214,14 @@ LATEX_TEXT = register_dialect(
         parser_mapping={
             "__default__": (
                 r"\\%${}",
-                [EnvParser, CommandParser, GroupParser, TexCommentParser, MathParser],
+                [
+                    EnvParser,
+                    EscapeParser,
+                    CommandParser,
+                    GroupParser,
+                    TexCommentParser,
+                    MathParser,
+                ],
             )
         },
         converters=_TEX_CONVERTERS,

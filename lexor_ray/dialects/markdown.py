@@ -20,14 +20,6 @@ from .registry import ConvertRule, Dialect, register_dialect
 from .html import _DEFAULT_PARSERS, BOILERPLATE_ELEMENTS
 
 
-class _Skip(NodeWriter):
-    def child(self, _node):
-        return None
-
-    def data(self, node) -> None:
-        pass
-
-
 class _Text(NodeWriter):
     def start(self, node) -> None:
         pass

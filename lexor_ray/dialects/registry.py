@@ -283,20 +283,34 @@ def _discover_style(name: str) -> bool:
 
     from .. import config as _config
 
+    tried: set[str] = set()
+
     dev = _config.read_config()
     if dev.has_option("develop", name):
         cand = dev.get("develop", name)
-        if os.path.exists(cand) and _try(cand):
-            return True
+        if os.path.exists(cand):
+            tried.add(os.path.abspath(cand))
+            if _try(cand):
+                return True
 
     for d in styles_search_path():
         cand = os.path.join(d, f"{name}.py")
-        if os.path.exists(cand) and _try(cand):
-            return True
+        if os.path.exists(cand):
+            tried.add(os.path.abspath(cand))
+            if _try(cand):
+                return True
+    # scan-all fallback: skip files the exact-name pass already exec'd
+    # (r5 review: a candidate registering a differently-named dialect
+    # was executed twice — double registration side effects)
     for d in styles_search_path():
         if not os.path.isdir(d):
             continue
         for f in sorted(os.listdir(d)):
-            if f.endswith(".py") and _try(os.path.join(d, f)):
+            p = os.path.join(d, f)
+            if (
+                f.endswith(".py")
+                and os.path.abspath(p) not in tried
+                and _try(p)
+            ):
                 return True
     return False

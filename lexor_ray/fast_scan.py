@@ -111,9 +111,8 @@ def _scan_tag(text: str, c: int, end: int):
                 vm = _UNQUOTED.match(text, j)
                 aval = vm.group(0)
                 i = vm.end()
-                if aval.endswith("/") and i < end and text[i] == ">":
-                    aval = aval[:-1]
-                    i -= 1
+                # HTML5: '/' is unquoted-value data (mirror of the
+                # dialect scanner — byte-identity contract)
         else:
             i = j if j > i else i
         if aname == "class":

@@ -61,6 +61,31 @@ def main() -> int:
     m = _re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
     if m:
         os.environ["LEXOR_RAY_ORACLE_SF"] = m.group(1)
+        sf_val = float(m.group(1))
+    else:
+        # no 'sfN' in the dir name (e.g. a renamed copy). Two distinct
+        # scales must be resolved (r5 review):
+        # - ORACLE_SF must equal transcripts.sf_from_dir's resolution
+        #   (0.01 fallback) — query side and oracle side then read the
+        #   SAME generated transcripts, whatever the table scale;
+        # - the quadratic-oracle skip keys off the ACTUAL document
+        #   count (generator: 50k docs at sf=1), not the fallback, so
+        #   a renamed sf0.1 copy cannot trigger the ~15-min all-pairs
+        #   SQL.
+        from lexor_ray.transcripts import sf_from_dir as _sfd
+
+        os.environ["LEXOR_RAY_ORACLE_SF"] = repr(_sfd(sf_dir))
+        import pyarrow.parquet as _pq
+
+        n_docs = _pq.ParquetFile(
+            os.path.join(sf_dir, "documents.parquet")
+        ).metadata.num_rows
+        sf_val = n_docs / 50_000.0
+        print(
+            f"WARNING: no sfN pattern in {sf_dir!r}; transcripts "
+            f"oracle sf={_sfd(sf_dir)}, table scale inferred "
+            f"sf≈{sf_val} from {n_docs} document rows"
+        )
     import ray
 
     ray.init(
@@ -83,7 +108,7 @@ def main() -> int:
     # ~15 min at sf0.1 (CLAUDE.md); the numpy all-pairs script is the
     # sf0.1 validator for these. Explicitly-named queries still run.
     quadratic = {"minhash_dedup", "dedup_clusters"}
-    sf_val = float(m.group(1)) if m else 0.0
+    # sf_val resolved above (explicit sfN pattern or row-count inference)
     unknown = only - set(qs)
     if unknown:
         # a typo'd query name must not yield a vacuous 'ALL OK'

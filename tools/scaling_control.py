@@ -70,9 +70,10 @@ def run(rows: int, procs: int):
     late = [l for _, l in out if l > 0]
     if late:
         # a late child timed against partially idle CPUs — the run's
-        # figure is invalid evidence; fail loudly (r4 review)
-        print(
-            f"WARNING: {len(late)} children missed the start barrier "
+        # figure is invalid evidence; fail loudly (r4 review; r5: with
+        # a NONZERO exit, not just a warning a consumer can miss)
+        raise SystemExit(
+            f"ABORT: {len(late)} children missed the start barrier "
             f"(worst {max(late):.1f}s late) — rerun with fewer rows; "
             "this measurement is NOT overlap-valid"
         )
