@@ -129,3 +129,24 @@ def test_deep_nesting_converter_path_iterative():
     text, spans = TextSpanWriter.write(Converter(d).convert(doc))
     assert text == "x"
     assert spans == [(5 * depth, 5 * depth + 1)]
+
+
+def test_unquoted_attr_value_keeps_trailing_slash():
+    """HTML5 unquoted-attribute-value rule (r5 review): '/' is value
+    data — the tag is NOT self-closing and the link text survives;
+    explicit self-closing still works with a space before '/>'."""
+    from lexor_ray.extract import Extractor
+
+    e = Extractor("html-text")
+    r = e.extract_one("<a href=http://x/>y</a>")
+    assert r["extracted_text"] == "y"
+    assert r["log"] == []  # no spurious W101 for the real </a>
+    # spaced self-closing unchanged
+    assert e.extract_one("<p a=1 />after")["extracted_text"] == "after"
+
+
+def test_markdown_writer_unquoted_href_keeps_url():
+    from lexor_ray.dialects.markdown import to_markdown
+
+    got = to_markdown("<p>see <a href=http://example.com/>link</a></p>")
+    assert got.strip() == "see [link](http://example.com/)"

@@ -57,3 +57,30 @@ def test_latex_spans_are_source_accurate():
 
 def test_latex_not_scanner_path():
     assert not ex()._pure  # non-HTML grammar must use the real engine
+
+
+def test_latex_single_char_escapes():
+    """``\\%`` etc. yield the literal character (r5 review: the
+    backslash leaked as text and the % ate the rest of the line)."""
+    e = ex()
+    cases = [
+        (r"50\% of cases", "50% of cases"),
+        (r"a \{literal\} brace and \$5", "a {literal} brace and $5"),
+        (r"an \& amp \# hash \_ under", "an & amp # hash _ under"),
+        # unescaped % still comments to end of line
+        ("body % comment\nnext", "body \nnext"),
+    ]
+    failures = []
+    for src, want in cases:
+        got = e.extract_one(src)["extracted_text"]
+        if got != want:
+            failures.append((src, got, want))
+    assert not failures, failures
+
+
+def test_latex_escape_spans_cover_source():
+    e = ex()
+    src = r"50\% done"
+    res = e.extract_one(src)
+    # the '%' run's span covers the two-char source escape
+    assert (2, 4) in res["spans"]
