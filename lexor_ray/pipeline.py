@@ -648,11 +648,15 @@ def run_extraction(
         # traffic cost more than the column-pruned read-back saves, so
         # the streaming write + distributed read-back stays.
         ds.write_parquet(tmp)
+        # lineage is computed from OUR OWN pid-unique tmp dir BEFORE
+        # the rename (r5 review, probed live): a concurrent
+        # same-identity run may rmtree+replace the landed part dir at
+        # any time, so no run may ever read a path another run can
+        # delete. The record is identical — same files, pre-rename.
+        rec = _chunk_lineage(tmp, chunk)
         if os.path.exists(mpath):
             # another live same-identity run completed this chunk while
-            # we computed it — keep ITS landed output (its lineage read
-            # may still be in flight on pdir) and discard ours instead
-            # of rmtree'ing the dir out from under it (r5 review)
+            # we computed it — keep ITS landed output and discard ours
             try:
                 with open(mpath) as fh:
                     done = json.load(fh)
@@ -664,7 +668,6 @@ def run_extraction(
         if os.path.exists(pdir):
             shutil.rmtree(pdir)
         os.rename(tmp, pdir)
-        rec = _chunk_lineage(pdir, chunk)
         # pid-suffixed manifest tmp: concurrent runs must never
         # interleave writes into one tmp file and rename corrupt JSON
         # into place (r5 review)
