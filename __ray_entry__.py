@@ -20,7 +20,10 @@ import os as _os
 #: the sf whose transcripts the oracle SQL reads — the driver checks
 #: at sf0.01; LEXOR_RAY_ORACLE_SF lets tools/check_correctness.py run
 #: the same gate at any other scale locally.
-_ORACLE_SF = _os.environ.get("LEXOR_RAY_ORACLE_SF", "0.01")
+#: canonicalized like transcripts_dir's "{:g}" path stamp — a raw
+#: '0.10' would glob a directory the generator never writes (r5
+#: review)
+_ORACLE_SF = "{:g}".format(float(_os.environ.get("LEXOR_RAY_ORACLE_SF", "0.01")))
 #: transcripts parquet path for that sf — DuckDB's oracle reads the
 #: same deterministic files the Ray queries read.
 _SF001_TRANSCRIPTS = f"/tmp/lexor_ray_data/sf{_ORACLE_SF}/transcripts/*.parquet"

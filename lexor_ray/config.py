@@ -11,7 +11,9 @@ reference's precedence (consumed at ``lexor/command/to.py:228-249``).
 
 The config file is INI format, found like the reference does:
 ``./lexor.config`` in the working directory, else
-``$LEXOR_CONFIG_PATH/lexor.config``, else ``~/.lexor.config``.
+``$LEXOR_CONFIG_PATH/lexor.config`` when that variable is set (the
+env path is committed to — no further fallback), else
+``~/.lexor.config``.
 Section names follow the reference's style-key shape
 ``{lang}-{kind}-{style}`` (``lexor/core/parser.py:126``), e.g.::
 
@@ -46,9 +48,12 @@ def config_path() -> str | None:
         return cand
     env = os.environ.get("LEXOR_CONFIG_PATH")
     if env:
+        # the reference COMMITS to the env path (config.py:87-88 reads
+        # it with no home fallback; a missing file parses as empty) —
+        # falling through to ~/.lexor.config here silently applied the
+        # home config the reference would ignore (r5 review)
         cand = os.path.join(env, "lexor.config")
-        if os.path.exists(cand):
-            return cand
+        return cand if os.path.exists(cand) else None
     cand = os.path.join(os.path.expanduser("~"), ".lexor.config")
     if os.path.exists(cand):
         return cand
@@ -78,7 +83,13 @@ def style_defaults(
     (with ``os.path.expandvars``, as the reference applies) → explicit
     ``overrides`` (CLI ``style[param=val]`` specs) — the exact
     precedence of ``set_style_cfg`` (``config.py:194-210``)."""
-    out = dict(STYLE_DEFAULTS.get(section, {}))
+    # the reference expands module DEFAULTS too (set_style_cfg:
+    # ``os.path.expandvars(str(val))`` on each module value, r5
+    # review) — a future '$HOME/...' default must resolve identically
+    out = {
+        var: os.path.expandvars(str(val))
+        for var, val in STYLE_DEFAULTS.get(section, {}).items()
+    }
     if cfg is None:
         cfg = read_config()
     if cfg.has_section(section):

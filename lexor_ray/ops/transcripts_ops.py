@@ -118,13 +118,18 @@ def extraction_log_summary(sf_dir: str):
         t = pa.table({"code": pa.array(codes, type=pa.string())})
         return t.group_by(["code"]).aggregate([("code", "count")])
 
-    from ray.data.aggregate import Sum
+    from .util import fold_bounded
 
-    return (
-        out.map_batches(explode, batch_format="pyarrow")
-        .groupby("code")
-        .aggregate(Sum("code_count", alias_name="n_msgs"))
-        .sort("code")
+    # message codes are a tiny fixed domain (W100/E100/...) — the
+    # key-bounded two-level fold replaces the sort-based groupby +
+    # trailing Dataset.sort (the CLAUDE.md fold_bounded rule; ~0.4 s
+    # of fixed all-to-all overhead on a ≤3-row result, r5 review);
+    # fold_bounded returns the table sorted by code.
+    return fold_bounded(
+        out.map_batches(explode, batch_format="pyarrow"), ["code"]
+    ).map_batches(
+        lambda b: b.rename_columns(["code", "n_msgs"]),
+        batch_format="pyarrow",
     )
 
 
@@ -228,8 +233,6 @@ def validate_extraction(sf_dir: str):
                 "n_violations": pa.array([bad], type=pa.int64()),
             }
         )
-
-    from ray.data.aggregate import Sum
 
     checked = out.map_batches(check, batch_format="pyarrow")
     total = checked.sum(["n_rows", "n_violations"])

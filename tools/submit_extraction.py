@@ -10,9 +10,11 @@ Inside a submitted job ``ray.init()`` attaches to the hosting
 cluster (the job server sets RAY_ADDRESS); run standalone it starts a
 local session, which is how this sandbox exercises it (no dashboard →
 no job server here; the submission command line above is the intended
-production launch). Exercised at N and 4N parallelism by
-``bench.py --scaling`` — see BENCH/BASELINE.md for the measured
-scaling efficiency.
+production launch). The chunked/resumable path this script drives is
+exercised at scale by ``tools/soak.py`` (16M-turn sustained runs +
+kill-one-chunk resume probes); ``bench.py --scaling`` measures the
+unchunked extraction at N and 4N parallelism — see BENCH/BASELINE.md
+for both.
 
 The job is resumable by construction: ``run_extraction`` writes one
 atomic data directory + manifest entry per chunk and skips chunks

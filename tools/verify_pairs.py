@@ -45,9 +45,18 @@ def exact_pairs(sf_dir: str, threshold: float, k: int = 3) -> pd.DataFrame:
         if len(positions) < 2:
             continue
         p = np.asarray(positions, dtype=np.int64)
-        a, b = np.meshgrid(p, p, indexing="ij")
-        m = a < b
-        keys.append(a[m] * n + b[m])
+        # chunk the pair expansion: a corpus-common shingle shared by
+        # m docs would otherwise allocate an m×m meshgrid in one shot
+        # (~60 GB at m=50k) — emit the same i<j pairs in bounded slabs
+        # of ≤2^22 candidate cells (r5 review)
+        step = max(1, (1 << 22) // len(p))
+        for s in range(0, len(p), step):
+            left = p[s : s + step]
+            a = np.repeat(left, len(p))
+            b = np.tile(p, len(left))
+            m = a < b
+            if m.any():
+                keys.append(a[m] * n + b[m])
     if not keys:
         return pd.DataFrame(
             {"a": pd.Series([], dtype="int64"),
