@@ -112,10 +112,16 @@ def extraction_log_summary(sf_dir: str):
     out = extract_ds(ds, batch_size=512, emit_lineage=False)
 
     def explode(batch: pa.Table) -> pa.Table:
-        codes = []
-        for row in batch.column("log").to_pylist():
-            codes.extend(rec["code"] for rec in row)
-        t = pa.table({"code": pa.array(codes, type=pa.string())})
+        # C-level list-of-struct explode (r5 review: the last per-row
+        # Python loop in an op hot path): flatten the list column,
+        # project the code field
+        logs = batch.column("log").combine_chunks()
+        codes = (
+            logs.flatten().field("code")
+            if len(logs)
+            else pa.array([], type=pa.string())
+        )
+        t = pa.table({"code": codes})
         return t.group_by(["code"]).aggregate([("code", "count")])
 
     from .util import fold_bounded
