@@ -751,9 +751,13 @@ def test_doc_signals_equals_standalone_ops(ray_session):
     nothing."""
     from lexor_ray.ops.textstats import doc_signals, lang_id, repetition_signals
 
-    fused = df(doc_signals(SF)).reset_index(drop=True)
-    lid = df(lang_id(SF)).reset_index(drop=True)
-    rep = df(repetition_signals(SF)).reset_index(drop=True)
+    # per-doc ops return UNORDERED datasets (README contract) — sort
+    # before positional compare (r5 review; the CLAUDE.md rule)
+    fused = df(doc_signals(SF)).sort_values("doc_id").reset_index(drop=True)
+    lid = df(lang_id(SF)).sort_values("doc_id").reset_index(drop=True)
+    rep = (
+        df(repetition_signals(SF)).sort_values("doc_id").reset_index(drop=True)
+    )
     pd.testing.assert_frame_equal(
         fused[["doc_id", "pred_lang", "lang"]], lid
     )
@@ -806,17 +810,27 @@ def test_decontaminate_flags_donors_and_duplicates(ray_session):
     of a donor are contaminated without being donors."""
     from lexor_ray.ops.decontam import BENCH_MOD, benchmark_snippets, decontaminate
 
+    import pyarrow.parquet as pq
+
     snips = benchmark_snippets(SF)
     assert len(snips) > 0 and all(len(s) == 40 for s in snips)
     got = df(decontaminate(SF))
-    donors = got[got["doc_id"] % BENCH_MOD == 0]
-    covered = donors[donors["doc_id"].isin(
-        got.loc[got["n_bench_hits"] > 0, "doc_id"]
-    )]
-    # every donor long enough to have donated must flag itself
-    assert (donors["contaminated"] | ~donors["doc_id"].isin(
-        covered["doc_id"]
-    )).all()
+    # every donor long enough to have donated (chars [10,50) → needs
+    # len ≥ 50) must flag itself — derived from the TEXT, not from
+    # n_bench_hits (r5 review: the old condition was a tautology)
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    long_donors = set(
+        docs.loc[
+            (docs["doc_id"] % BENCH_MOD == 0)
+            & (docs["text"].fillna("").str.len() >= 50),
+            "doc_id",
+        ]
+    )
+    assert long_donors
+    donors = got[got["doc_id"].isin(long_donors)]
+    assert len(donors) == len(long_donors) and donors["contaminated"].all()
     # the corpus's exact duplicates give at least one non-donor hit
     assert (got["contaminated"] & (got["doc_id"] % BENCH_MOD != 0)).any()
 
@@ -830,8 +844,10 @@ def test_quality_filter_scores_merges_components(ray_session):
         quality_scores,
     )
 
-    fused = df(quality_filter_scores(SF)).set_index("doc_id")
-    scores = df(quality_scores(SF)).set_index("doc_id")
+    # sort_index: the two datasets are independently unordered and
+    # assert_frame_equal compares row-positionally (r5 review)
+    fused = df(quality_filter_scores(SF)).set_index("doc_id").sort_index()
+    scores = df(quality_scores(SF)).set_index("doc_id").sort_index()
     pd.testing.assert_frame_equal(
         fused[["stop_ratio", "mean_word_len", "punct_ratio", "quality_score"]],
         scores[["stop_ratio", "mean_word_len", "punct_ratio", "quality_score"]],
@@ -858,7 +874,7 @@ def test_sq8_quantize_roundtrip_and_bounds(ray_session):
         dtype=np.float64,
     )
     codes = np.asarray(got.sort_values("vec_id")["codes"].tolist(), np.int64)
-    span = np.where(mx - mn == 0, 0.0, mx - mn)
+    span = mx - mn  # (the old np.where zero-guard was a no-op)
     dq = mn + (codes + 0.5) * span / 255.0
     assert np.abs(emb - dq).max() <= (span.max() / 255.0) + 1e-12
     # quantizing the dequantized points is a fixed point of the grid

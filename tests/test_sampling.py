@@ -1,12 +1,7 @@
 """Deterministic corpus sampling / splitting / capping operators."""
 
-import pathlib
-import sys
-
 import numpy as np
 import pandas as pd
-
-sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 SF = "/root/testdata/sf0.001"
 

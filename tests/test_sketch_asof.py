@@ -69,12 +69,19 @@ def test_sparse_mode_exact_and_dense_degrade():
     bparts = np.array_split(big, 20)
     est = merge_sketches([0] * 20, [p.tolist() for p in bparts])
     assert abs(est - 50000) / 50000 < 0.05
-    assert est != 50000 or True  # register tier, tolerance applies
     # mixed sparse + dense
     est2 = merge_sketches(
         [0, 1], [parts[0].tolist(), _registers(big).tolist()]
     )
     assert abs(est2 - 50000) / 50000 < 0.06
+    # BOTH oversized merges must have degraded to the register tier:
+    # parts[0]'s hashes (arange(3000)) are a subset of big's
+    # (arange(50000)), so the two register sets — and therefore the
+    # register-tier estimates — are identical. If the sparse merge
+    # regressed to holding all 50k hashes (the unbounded-memory bug
+    # SPARSE_MAX exists to prevent), est would be the exact 50000 and
+    # this equality would fail (r5 review: the old assertion was dead).
+    assert est == est2
 
 
 def test_cms_heavy_hitters_matches_exact(ray_session):

@@ -40,9 +40,12 @@ def test_write_with_markdown_dialect():
 
 
 def test_parse_xml_alias_matches_reference_default():
-    """Reference users call parse(text, 'xml') — alias to html."""
+    """Reference users call parse(text, 'xml') — alias to html. Must
+    exhibit HTML semantics, not merely parse (r5 review: `is not
+    None` passed for ANY alias target)."""
     doc, log = lexor_ray.parse("<p>hi</p>", "xml")
-    assert doc is not None
+    assert [n.name for n in doc.get_nodes_by_name("p")] == ["p"]
+    assert log == []
 
 
 def test_read_unknown_extension_warns(tmp_path):
@@ -307,7 +310,7 @@ def test_cli_document_command(capsys):
     assert "converter rules" in out
 
 
-def test_cli_defaults_command(capsys=None):
+def test_cli_defaults_command():
     """The reference's `lexor defaults` restated: print a section's
     resolved default values; unknown sections say NO DEFAULTS."""
     import subprocess
